@@ -1,0 +1,170 @@
+"""3D-conv cost aggregation + classification heads (reference components
+M4 + M5, SURVEY.md 2.1; canonical ``models/stackhourglass.py``).
+
+Volume layout is channels-last ``[B, D, H, W, C]`` (NDHWC) — XLA lowers the
+3D convs onto the MXU with C minor. The stacked-hourglass wiring follows the
+canonical reference exactly (see SURVEY.md 3.4):
+
+    cost0 = dres1(dres0(cost)) + dres0(cost)          # residual base
+    out1, pre1, post1 = hourglass1(cost0, None, None);   out1 += cost0
+    out2, pre2, post2 = hourglass2(out1, pre1, post1);   out2 += cost0
+    out3, _,    _     = hourglass3(out2, pre1, post2);   out3 += cost0
+    cost_i = classif_i(out_i)   (train: cost2 += cost1; cost3 += cost2;
+                                 eval: classif3 alone, no additive chain)
+
+The explicit context mapping (M3) is injected at configurable stages: after
+dres0 (stage 0) and/or at each hourglass input (stages 1-3).
+
+``jax.checkpoint`` (flax ``nn.remat``) wraps each hourglass: the
+[B,D,H/4,W/4,C] volumes through ~25 3D convs would otherwise blow HBM under
+autograd (SURVEY.md section 7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ecm_tpu.models.context import ContextMapping
+from ecm_tpu.models.layers import ConvBN, ConvTransposeBN, conv_init
+
+
+class Hourglass(nn.Module):
+    """One 3D encoder-decoder stage (reference ``hourglass`` class).
+
+    __call__(x, presqu, postsqu) -> (out, pre, post):
+      out1  = relu(bn(conv s2 C->2C))(x)
+      pre   = bn(conv 2C->2C); pre = relu(pre + postsqu) if postsqu else relu(pre)
+      out   = relu(bn(conv s2 2C->2C)) |> relu(bn(conv 2C->2C))
+      post  = relu(deconvbn 2C->2C + (presqu or pre))
+      out   = deconvbn 2C->C        (no relu)
+
+    ``train`` is a module attribute (not a call arg) so ``nn.remat`` needs no
+    static_argnums; in ``nn.compact`` parents the module is rebuilt per call,
+    so this costs nothing.
+    """
+
+    channels: int  # C (input/output width); internal width is 2C
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        presqu: jax.Array | None,
+        postsqu: jax.Array | None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        c = self.channels
+        dt = self.dtype
+        train = self.train
+        out = ConvBN(2 * c, strides=2, relu=True, dtype=dt, name="conv1")(x, train)
+        pre = ConvBN(2 * c, strides=1, relu=False, dtype=dt, name="conv2")(out, train)
+        if postsqu is not None:
+            pre = nn.relu(pre + postsqu)
+        else:
+            pre = nn.relu(pre)
+        out = ConvBN(2 * c, strides=2, relu=True, dtype=dt, name="conv3")(pre, train)
+        out = ConvBN(2 * c, strides=1, relu=True, dtype=dt, name="conv4")(out, train)
+        post = ConvTransposeBN(2 * c, relu=False, dtype=dt, name="conv5")(out, train)
+        post = nn.relu(post + (presqu if presqu is not None else pre))
+        out = ConvTransposeBN(c, relu=False, dtype=dt, name="conv6")(post, train)
+        return out, pre, post
+
+
+class ClassifHead(nn.Module):
+    """Per-stage head: 3D convBN-ReLU C->C, then 3D conv C->1 (bias, no BN)."""
+
+    channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = ConvBN(self.channels, relu=True, dtype=self.dtype, name="conv1")(x, train)
+        x = nn.Conv(
+            1,
+            kernel_size=(3, 3, 3),
+            padding=[(1, 1)] * 3,
+            use_bias=True,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv2",
+        )(x)
+        return x  # [B, D, H, W, 1]
+
+
+class ECMAggregation(nn.Module):
+    """Stacked-hourglass aggregation with explicit context mapping.
+
+    Input: cost volume ``[B, D, H/4, W/4, Cin]`` + 2D context features
+    ``[B, H/4, W/4, C2]``. Output: list of per-stage cost maps
+    ``[B, D, H/4, W/4]`` (3 in train mode, last-only in eval).
+    """
+
+    channels: int = 32
+    num_hourglass: int = 3
+    context_fusion: str = "add"  # see ContextMapping
+    context_stages: tuple[int, ...] = (0, 1, 2, 3)  # 0 = after dres0
+    remat: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, volume: jax.Array, ctx2d: jax.Array, train: bool = False
+    ) -> list[jax.Array]:
+        c = self.channels
+        dt = self.dtype
+
+        def ctx(stage: int, name: str):
+            if self.context_fusion != "none" and stage in self.context_stages:
+                return ContextMapping(
+                    channels3d=c, fusion=self.context_fusion, dtype=dt, name=name
+                )
+            return None
+
+        # dres0: 2x 3D convBN-ReLU, 2C -> C
+        x = ConvBN(c, relu=True, dtype=dt, name="dres0_1")(volume, train)
+        x = ConvBN(c, relu=True, dtype=dt, name="dres0_2")(x, train)
+        cm0 = ctx(0, "context0")
+        if cm0 is not None:
+            x = cm0(ctx2d, x, train)
+        # dres1: residual (convBN-ReLU, convBN) + x
+        y = ConvBN(c, relu=True, dtype=dt, name="dres1_1")(x, train)
+        y = ConvBN(c, relu=False, dtype=dt, name="dres1_2")(y, train)
+        cost0 = y + x
+
+        hg_cls = nn.remat(Hourglass) if self.remat else Hourglass
+
+        outs: list[jax.Array] = []
+        pre1 = post_prev = None
+        inp = cost0
+        for i in range(self.num_hourglass):
+            cmi = ctx(i + 1, f"context{i + 1}")
+            if cmi is not None:
+                inp = cmi(ctx2d, inp, train)
+            presqu = pre1 if i > 0 else None
+            postsqu = post_prev if i > 0 else None
+            out, pre, post = hg_cls(
+                c, train=train, dtype=dt, name=f"hourglass{i + 1}"
+            )(inp, presqu, postsqu)
+            if i == 0:
+                pre1 = pre
+            post_prev = post
+            out = out + cost0
+            outs.append(out)
+            inp = out
+
+        costs: list[jax.Array] = []
+        prev_cost = None
+        for i, out in enumerate(outs):
+            last = i == len(outs) - 1
+            if not (train or last):
+                continue  # eval: only the last head runs (reference semantics)
+            cost = ClassifHead(c, dtype=dt, name=f"classif{i + 1}")(out, train)
+            if train and prev_cost is not None:
+                cost = cost + prev_cost
+            prev_cost = cost if train else None
+            costs.append(jnp.squeeze(cost, axis=-1))  # [B, D, H/4, W/4]
+        return costs
