@@ -1,0 +1,67 @@
+"""Headline benchmark: stereo pairs/s/chip, eval forward of the flagship ECM
+stacked-hourglass model at the reference inference config (BASELINE.json
+config 1: 384x1248, max-disp 192 — the KITTI submission path, SURVEY.md 3.3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against 2.4 pairs/s — the canonical PSMNet-class
+reference throughput for this config (~0.41 s/pair on the 1080Ti-era GPUs the
+reference repo family reports; the reference's own published runtime was not
+recoverable — BASELINE.json "published": {}, SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PAIRS_PER_S = 2.4
+H, W, MAXD = 384, 1248, 192
+WARMUP, ITERS = 2, 10
+
+
+def main() -> None:
+    from ecm_tpu.models import build_model
+
+    model = build_model("stackhourglass", max_disp=MAXD, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
+    right = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, left, right, train=True)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+    @jax.jit
+    def forward(variables, left, right):
+        return model.apply(variables, left, right, train=False)[-1]
+
+    out = forward(variables, left, right)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP):
+        jax.block_until_ready(forward(variables, left, right))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, left, right)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    pairs_per_s = ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_pairs_per_s_per_chip_384x1248_d192",
+                "value": round(pairs_per_s, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

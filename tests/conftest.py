@@ -7,7 +7,6 @@ in benchmarks/run_tpu_checks.py (the TPU chip is not assumed in CI).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# NOTE: this environment's sitecustomize imports jax and pins
+# JAX_PLATFORMS=axon before conftest runs, so the env var is too late —
+# the config update below is the reliable way to force the CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: CPU 3D-conv compiles dominate test wall-clock
 jax.config.update("jax_compilation_cache_dir", "/tmp/ecm_tpu_jax_cache")
