@@ -1,0 +1,112 @@
+"""Experiment configs (replaces the reference's argparse-only flag system —
+SURVEY.md section 5). One named preset per BASELINE.json config 1-5; CLI
+scripts expose the reference's flag names (--maxdisp, --model, --datapath,
+--epochs, --loadmodel, --savemodel, --seed) as overrides on top.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str = "stackhourglass"  # stackhourglass | basic
+    max_disp: int = 192
+    feature_channels: int = 32
+    cost_mode: str = "concat"  # concat | correlation
+    context_fusion: str = "add"  # add | film | both | none
+    use_pallas: bool = False
+    bf16: bool = True
+    remat: bool = True
+
+    def build(self, **overrides):
+        import jax.numpy as jnp
+
+        from ecm_tpu.models import build_model
+
+        kw = dict(
+            max_disp=self.max_disp,
+            feature_channels=self.feature_channels,
+            cost_mode=self.cost_mode,
+            context_fusion=self.context_fusion,
+            use_pallas=self.use_pallas,
+            dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+        )
+        if self.name in ("stackhourglass", "ecm"):
+            kw["remat"] = self.remat
+        kw.update(overrides)
+        return build_model(self.name, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "sceneflow"  # sceneflow | kitti2015 | kitti2012 | synthetic
+    datapath: str = ""
+    crop: tuple[int, int] = (256, 512)  # (H, W) train crop (reference 512x256 WxH)
+    global_batch: int = 4
+    workers: int = 4
+    seed: int = 1  # reference default --seed 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_steps: int = 10_000
+    lr: float = 1e-3
+    lr_drops: tuple[tuple[int, float], ...] = ()  # (step, new_lr)
+    ckpt_dir: str = "checkpoints"
+    ckpt_every: int = 1000
+    log_every: int = 20
+    eval_every: int = 0
+    mesh_data: int | None = None  # None = all devices
+    mesh_disp: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+
+
+CONFIGS: dict[str, ExperimentConfig] = {
+    # 1) Single KITTI 2015 pair, 384x1248, max-disp 192, CPU/1-chip inference
+    "kitti_infer": ExperimentConfig(
+        model=ModelConfig(bf16=False),
+        data=DataConfig(dataset="kitti2015", global_batch=1),
+        train=TrainConfig(num_steps=0),
+    ),
+    # 2) SceneFlow FlyingThings3D subset, batch 4, single chip
+    "sceneflow_single": ExperimentConfig(
+        data=DataConfig(dataset="sceneflow", global_batch=4),
+        train=TrainConfig(num_steps=20_000),
+    ),
+    # 3) Full SceneFlow train + KITTI fine-tune, 1 host data-parallel
+    "sceneflow_dp": ExperimentConfig(
+        data=DataConfig(dataset="sceneflow", global_batch=12),
+        train=TrainConfig(num_steps=150_000, mesh_data=None),
+    ),
+    "kitti_finetune": ExperimentConfig(
+        data=DataConfig(dataset="kitti2015", global_batch=12),
+        train=TrainConfig(
+            num_steps=60_000, lr=1e-3, lr_drops=((40_000, 1e-4),), mesh_data=None
+        ),
+    ),
+    # 4) Middlebury high-res with disparity-axis cost-volume sharding
+    "middlebury_disp_sharded": ExperimentConfig(
+        model=ModelConfig(max_disp=384),
+        data=DataConfig(dataset="middlebury", global_batch=1),
+        train=TrainConfig(num_steps=0, mesh_data=1, mesh_disp=4),
+    ),
+    # 5) Multi-host pod-slice training, global batch >= 64
+    "sceneflow_multihost": ExperimentConfig(
+        data=DataConfig(dataset="sceneflow", global_batch=64),
+        train=TrainConfig(num_steps=150_000, mesh_data=None),
+    ),
+    # build-side: tiny-overfit correctness gate on synthetic data
+    "overfit_gate": ExperimentConfig(
+        model=ModelConfig(max_disp=48, bf16=False),
+        data=DataConfig(dataset="synthetic", global_batch=2, crop=(128, 256)),
+        train=TrainConfig(num_steps=200, log_every=20, ckpt_every=10_000),
+    ),
+}
