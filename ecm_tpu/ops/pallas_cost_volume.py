@@ -7,19 +7,24 @@ reads only ``fl``/``fr`` (``[B, H, W, C]``). The jnp reference builds D
 shifted/padded copies which XLA materializes (or re-reads fr D times from
 HBM). This kernel:
 
-- iterates grid ``(B, H-blocks, D)`` with D innermost, so the ``fl`` block's
-  index map is constant across the D sweep — Pallas keeps it resident in VMEM
-  (one HBM fetch per (b, h) instead of D);
-- gets the shifted right-image rows via an async DMA from a left-zero-padded
-  ``fr`` laid out in HBM (``fr_pad[:, :, D + w] = fr[:, :, w]``), so the
-  shift is a pure DMA offset — no gather, no select;
+- iterates grid ``(B, H-blocks, D)`` with D innermost; the ``fl`` block and
+  the (left-zero-padded) ``fr`` row-block have index maps constant across the
+  D sweep, so Pallas fetches each from HBM once per ``(b, h)`` and keeps them
+  VMEM-resident for all D disparities;
+- realizes the disparity shift as a *sublane* dynamic slice of the padded fr
+  block (``fr_pad[:, D - d : D - d + W, :]``) — W sits on the sublane axis
+  (C on lanes), and sublane shifts are native VPU ops. No gather, no DMA
+  bookkeeping, no select. (A first attempt DMA'd the shifted window from HBM
+  with ``make_async_copy``; Mosaic rejects dynamic HBM slices whose minor dim
+  (C=32) is not 128-lane aligned — the sublane-shift formulation avoids the
+  constraint entirely and needs no scratch/semaphores.);
 - writes every output element exactly once. HBM traffic approaches the
-  write-bandwidth bound (output bytes + one read of fl/fr).
+  write-bandwidth bound (output bytes + one read of fl/fr per row block).
 
 ``cost_volume_pallas`` carries a custom VJP (the op is linear):
-``dfl[w] = sum_d g[d, w, :C] . mask``; ``dfr[w] = sum_d g[d, w + d, C:]`` —
-the backward kernel accumulates both in VMEM scratch across the D sweep and
-writes once at ``d = D - 1``.
+``dfl[w] = sum_d g[d, w, :C] * (w >= d)``; ``dfr[w] = sum_d g[d, w + d, C:]``
+— the backward kernel accumulates both into revisited output blocks across
+the D sweep (Pallas writes them back to HBM when the block index changes).
 """
 
 from __future__ import annotations
@@ -37,88 +42,90 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_row_block(h: int, w: int, c: int, dtype_bytes: int, budget: int = 2**21) -> int:
-    """Largest divisor of H whose (Ht, W, 2C) out-block fits the VMEM budget."""
+def _pick_row_block(
+    h: int, w: int, c: int, max_disp: int, dtype_bytes: int, budget: int = 2**21
+) -> int:
+    """Largest divisor of H whose out-block + padded-fr block fit the budget."""
+    per_row = (2 * c * w + c * (w + max_disp)) * dtype_bytes
     for ht in range(h, 0, -1):
-        if h % ht == 0 and ht * w * 2 * c * dtype_bytes <= budget:
+        if h % ht == 0 and ht * per_row <= budget:
             return ht
     return 1
 
 
-def _concat_fwd_kernel(fl_ref, fr_hbm, out_ref, fr_scratch, sem):
-    b, h, d = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    ht, w, c = fr_scratch.shape
+def _wiota(ht: int, w: int, extra_dim: bool = True):
+    shape = (ht, w, 1) if extra_dim else (ht, w)
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _concat_fwd_kernel(fl_ref, frp_ref, out_ref):
+    d = pl.program_id(2)
     d_max = pl.num_programs(2)
-    dma = pltpu.make_async_copy(
-        fr_hbm.at[b, pl.ds(h * ht, ht), pl.ds(d_max - d, w), :],
-        fr_scratch,
-        sem,
-    )
-    dma.start()
-    # left half: fl masked to zero where w < d (reference leaves those cols 0)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (ht, w, 1), 1)
-    mask = (wiota >= d).astype(fl_ref.dtype)
+    _, ht, w, c = fl_ref.shape
+    mask = (_wiota(ht, w) >= d).astype(fl_ref.dtype)
     out_ref[0, 0, :, :, :c] = fl_ref[0] * mask
-    dma.wait()
-    # right half: zero-padding of fr_pad supplies the w < d zeros
-    out_ref[0, 0, :, :, c:] = fr_scratch[:]
+    # shifted right features: zero padding of fr_pad supplies the w < d zeros
+    out_ref[0, 0, :, :, c:] = frp_ref[0, :, pl.ds(d_max - d, w), :]
 
 
-def _concat_bwd_kernel(g_ref, dfl_ref, dfr_hbm, dfr_acc, sem):
-    """Grid (B, Hb, D), D innermost. Accumulates dfl in the (revisited) output
-    block and dfr in scratch; DMAs dfr out on the last D step.
-
-    dfl[w] = sum_d g[d, w, :C] * (w >= d)
-    dfr[w] = sum_d g[d, w + d, C:]  (w + d < W)
-    """
-    b, h, d = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _concat_bwd_kernel(g_ref, dfl_ref, dfrp_ref):
+    """dfl/dfrp are revisited output blocks accumulated across the D sweep."""
+    d = pl.program_id(2)
     d_max = pl.num_programs(2)
-    ht, wpad, c = dfr_acc.shape  # wpad = W + D (padded-fr coordinates)
-    w = wpad - d_max
-    g = g_ref[0, 0]  # (ht, w, 2c)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (ht, w, 1), 1)
-    gl = g[:, :, :c] * (wiota >= d).astype(g.dtype)
+    _, _, ht, w, c2 = g_ref.shape
+    c = c2 // 2
 
     @pl.when(d == 0)
     def _():
         dfl_ref[0] = jnp.zeros_like(dfl_ref[0])
-        dfr_acc[:] = jnp.zeros_like(dfr_acc)
+        dfrp_ref[0] = jnp.zeros_like(dfrp_ref[0])
 
-    dfl_ref[0] += gl
-    # scatter g[:, :, c:] into padded-fr coords starting at (d_max - d)
-    dfr_acc[:, pl.ds(d_max - d, w), :] += g[:, :, c:]
+    g = g_ref[0, 0]
+    mask = (_wiota(ht, w) >= d).astype(g.dtype)
+    dfl_ref[0] += g[:, :, :c] * mask
+    cur = dfrp_ref[0, :, pl.ds(d_max - d, w), :]
+    dfrp_ref[0, :, pl.ds(d_max - d, w), :] = cur + g[:, :, c:]
 
-    @pl.when(d == d_max - 1)
-    def _():
-        dma = pltpu.make_async_copy(dfr_acc, dfr_hbm.at[b, pl.ds(h * ht, ht)], sem)
-        dma.start()
-        dma.wait()
+
+def _corr_fwd_kernel(fl_ref, frp_ref, out_ref):
+    d = pl.program_id(2)
+    d_max = pl.num_programs(2)
+    _, ht, w, c = fl_ref.shape
+    fr = frp_ref[0, :, pl.ds(d_max - d, w), :]
+    prod = fl_ref[0].astype(jnp.float32) * fr.astype(jnp.float32)
+    corr = jnp.sum(prod, axis=-1) * (1.0 / c)
+    out_ref[0, 0] = jnp.where(_wiota(ht, w, False) >= d, corr, 0.0).astype(
+        out_ref.dtype
+    )
+
+
+def _common_in_specs(ht: int, w: int, c: int, max_disp: int):
+    return [
+        pl.BlockSpec(
+            (1, ht, w, c), lambda bi, hi, di: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, ht, w + max_disp, c),
+            lambda bi, hi, di: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
 
 
 def _concat_fwd(fl: jax.Array, fr: jax.Array, max_disp: int) -> jax.Array:
     b, h, w, c = fl.shape
-    ht = _pick_row_block(h, w, c, fl.dtype.itemsize)
+    ht = _pick_row_block(h, w, c, max_disp, fl.dtype.itemsize)
     fr_pad = jnp.pad(fr, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
-    grid = (b, h // ht, max_disp)
     return pl.pallas_call(
         _concat_fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, ht, w, c), lambda bi, hi, di: (bi, hi, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        grid=(b, h // ht, max_disp),
+        in_specs=_common_in_specs(ht, w, c, max_disp),
         out_specs=pl.BlockSpec(
             (1, 1, ht, w, 2 * c),
             lambda bi, hi, di: (bi, di, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, max_disp, h, w, 2 * c), fl.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((ht, w, c), fl.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=_interpret(),
     )(fl, fr_pad)
 
@@ -126,11 +133,10 @@ def _concat_fwd(fl: jax.Array, fr: jax.Array, max_disp: int) -> jax.Array:
 def _concat_bwd(max_disp: int, res, g: jax.Array):
     fl, fr = res
     b, h, w, c = fl.shape
-    ht = _pick_row_block(h, w, c, fl.dtype.itemsize)
-    grid = (b, h // ht, max_disp)
+    ht = _pick_row_block(h, w, c, max_disp, fl.dtype.itemsize)
     dfl, dfr_pad = pl.pallas_call(
         _concat_bwd_kernel,
-        grid=grid,
+        grid=(b, h // ht, max_disp),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, ht, w, 2 * c),
@@ -140,62 +146,37 @@ def _concat_bwd(max_disp: int, res, g: jax.Array):
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, ht, w, c), lambda bi, hi, di: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+                (1, ht, w, c),
+                lambda bi, hi, di: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, ht, w + max_disp, c),
+                lambda bi, hi, di: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w, c), fl.dtype),
             jax.ShapeDtypeStruct((b, h, max_disp + w, c), fl.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ht, max_disp + w, c), fl.dtype),
-            pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
     )(g)
     return dfl, dfr_pad[:, :, max_disp:, :]
 
 
-def _corr_fwd_kernel(fl_ref, fr_hbm, out_ref, fr_scratch, sem):
-    b, h, d = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    ht, w, c = fr_scratch.shape
-    d_max = pl.num_programs(2)
-    dma = pltpu.make_async_copy(
-        fr_hbm.at[b, pl.ds(h * ht, ht), pl.ds(d_max - d, w), :],
-        fr_scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-    prod = fl_ref[0].astype(jnp.float32) * fr_scratch[:].astype(jnp.float32)
-    corr = jnp.mean(prod, axis=-1)  # (ht, w)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (ht, w), 1)
-    out_ref[0, 0] = jnp.where(wiota >= d, corr, 0.0).astype(out_ref.dtype)
-
-
 def _corr_fwd(fl: jax.Array, fr: jax.Array, max_disp: int) -> jax.Array:
     b, h, w, c = fl.shape
-    ht = _pick_row_block(h, w, c, fl.dtype.itemsize)
+    ht = _pick_row_block(h, w, c, max_disp, fl.dtype.itemsize)
     fr_pad = jnp.pad(fr, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
-    grid = (b, h // ht, max_disp)
     out = pl.pallas_call(
         _corr_fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, ht, w, c), lambda bi, hi, di: (bi, hi, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        grid=(b, h // ht, max_disp),
+        in_specs=_common_in_specs(ht, w, c, max_disp),
         out_specs=pl.BlockSpec(
             (1, 1, ht, w), lambda bi, hi, di: (bi, di, hi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, max_disp, h, w), fl.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((ht, w, c), fl.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=_interpret(),
     )(fl, fr_pad)
     return out[..., None]  # [B, D, H, W, 1] to match the jnp reference
@@ -224,7 +205,7 @@ def _corr_fwd_rule(fl, fr, max_disp):
 
 def _corr_bwd_rule(max_disp, res, g):
     # backward via the jnp reference's VJP (XLA fuses it fine; the forward's
-    # D-sweep DMA trick has no payoff in the scatter-shaped backward)
+    # VMEM-resident D-sweep has no payoff in the scatter-shaped backward)
     from ecm_tpu.ops.cost_volume import cost_volume_correlation_jnp
 
     fl, fr = res
