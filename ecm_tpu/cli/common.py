@@ -8,10 +8,19 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 import jax
 
 from ecm_tpu.configs import CONFIGS, ExperimentConfig
+
+# persistent compile cache: full-model train-step compiles take minutes; the
+# cache makes re-runs (resume, eval, bench) start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ECM_TPU_COMPILE_CACHE", "/tmp/ecm_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:

@@ -56,7 +56,10 @@ def list_kitti(
     if split != "training":
         return specs, []
     # reference convention: last `val_count` pairs are validation
-    return specs[: len(specs) - val_count], specs[len(specs) - val_count :]
+    # (clamped so small/partial datasets still yield a non-empty train split)
+    val_count = min(val_count, len(specs) // 2)
+    cut = len(specs) - val_count
+    return specs[:cut], specs[cut:]
 
 
 def decode_disp_png(path_or_array) -> np.ndarray:

@@ -67,9 +67,8 @@ def list_sceneflow(root: str) -> tuple[list[SampleSpec], list[SampleSpec]]:
             if disp is None or not os.path.exists(right):
                 continue
             spec = SampleSpec(left, right, disp)
-            if "TEST" in left.upper().split(os.sep.join([""]))[0] or (
-                os.sep + "TEST" + os.sep in left
-            ):
+            # FlyingThings3D convention: .../TRAIN/... vs .../TEST/... dirs
+            if os.sep + "TEST" + os.sep in left:
                 test.append(spec)
             else:
                 train.append(spec)

@@ -40,6 +40,12 @@ class ECMStereo(nn.Module):
     num_hourglass: int = 3
     use_pallas: bool = False
     remat: bool = True
+    # "fullres": reference-canonical — trilinear-upsample the cost volume to
+    #   [B, D, H, W] then soft-argmin (SURVEY.md 3.4 M5/M6).
+    # "lowres": soft-argmin at quarter resolution, scale x4, bilinear-upsample
+    #   the disparity map — avoids materializing the 368 MB full-res volume;
+    #   different (cheaper) numerics, offered as the fast serving path.
+    regress_mode: str = "fullres"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -72,8 +78,16 @@ class ECMStereo(nn.Module):
 
         disps = []
         for cost4 in costs4:
-            cost = upsample_trilinear(cost4, (self.max_disp, h, w))  # [B, D, H, W]
-            disps.append(disparity_regression(cost, self.max_disp))  # [B, H, W]
+            if self.regress_mode == "lowres":
+                from ecm_tpu.ops.softargmin import softargmin_jnp
+                from ecm_tpu.ops.upsample import upsample_bilinear
+
+                d4_map = softargmin_jnp(cost4) * 4.0  # [B, H/4, W/4]
+                disp = upsample_bilinear(d4_map[..., None], (h, w))[..., 0]
+            else:
+                cost = upsample_trilinear(cost4, (self.max_disp, h, w))
+                disp = disparity_regression(cost, self.max_disp)  # [B, H, W]
+            disps.append(disp)
         return disps
 
 

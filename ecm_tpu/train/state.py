@@ -52,10 +52,16 @@ def create_train_state(
     batch_size: int = 1,
 ) -> TrainState:
     """Initialize params (always with ``train=True`` so ALL heads exist —
-    eval-mode apply then simply ignores the unused classif1/2 params)."""
+    eval-mode apply then simply ignores the unused classif1/2 params).
+
+    init runs under jit: eager linen init dispatches hundreds of individual
+    ops, which costs minutes on a high-dispatch-latency (relay-attached)
+    device; one compiled call is ~100x faster there.
+    """
     h, w, c = input_shape
     dummy = jnp.zeros((batch_size, h, w, c), jnp.float32)
-    variables = model.init({"params": rng}, dummy, dummy, train=True)
+    init_fn = jax.jit(lambda r: model.init({"params": r}, dummy, dummy, train=True))
+    variables = init_fn(rng)
     if tx is None:
         tx = make_optimizer()
     return TrainState.create(
