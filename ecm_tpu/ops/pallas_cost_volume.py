@@ -23,8 +23,8 @@ HBM). This kernel:
 
 ``cost_volume_pallas`` carries a custom VJP (the op is linear):
 ``dfl[w] = sum_d g[d, w, :C] * (w >= d)``; ``dfr[w] = sum_d g[d, w + d, C:]``
-— the backward kernel accumulates both into revisited output blocks across
-the D sweep (Pallas writes them back to HBM when the block index changes).
+— computed via the jnp reference's VJP (the adjoint is scatter-shaped; XLA's
+fused pad/slice adds already hit the bandwidth bound there).
 """
 
 from __future__ import annotations
@@ -58,6 +58,26 @@ def _wiota(ht: int, w: int, extra_dim: bool = True):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
+def _shifted_window(frp_block, d, d_max: int, w: int):
+    """``fr_pad[:, D - d + j, :]`` for j in [0, W) via a dynamic circular roll
+    + *static* slice. A dynamic-offset sublane slice (``pl.ds(D - d, W)``)
+    requires Mosaic to prove 8/16-sublane alignment of the offset, which a
+    per-step varying d cannot satisfy; ``roll`` is a native dynamic rotate.
+    rolled[i] = frp[(i - d) mod wpad]  =>  rolled[D + j] = frp[D + j - d].
+    NOTE: tpu.dynamic_rotate is 32-bit-only, hence fr_pad is passed f32 (see
+    ``_fr_pad``) and the result is cast to the output dtype at the write."""
+    rolled = pltpu.roll(frp_block, d, axis=1)
+    return rolled[:, d_max : d_max + w, :]
+
+
+def _fr_pad(fr: jax.Array, max_disp: int) -> jax.Array:
+    """Left-zero-pad fr along W; f32 so the in-kernel dynamic rotate is legal
+    (32-bit-only op). fr is the small input — output writes dominate traffic,
+    and those stay in the model dtype."""
+    padded = jnp.pad(fr, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
+    return padded.astype(jnp.float32)
+
+
 def _concat_fwd_kernel(fl_ref, frp_ref, out_ref):
     d = pl.program_id(2)
     d_max = pl.num_programs(2)
@@ -65,34 +85,17 @@ def _concat_fwd_kernel(fl_ref, frp_ref, out_ref):
     mask = (_wiota(ht, w) >= d).astype(fl_ref.dtype)
     out_ref[0, 0, :, :, :c] = fl_ref[0] * mask
     # shifted right features: zero padding of fr_pad supplies the w < d zeros
-    out_ref[0, 0, :, :, c:] = frp_ref[0, :, pl.ds(d_max - d, w), :]
-
-
-def _concat_bwd_kernel(g_ref, dfl_ref, dfrp_ref):
-    """dfl/dfrp are revisited output blocks accumulated across the D sweep."""
-    d = pl.program_id(2)
-    d_max = pl.num_programs(2)
-    _, _, ht, w, c2 = g_ref.shape
-    c = c2 // 2
-
-    @pl.when(d == 0)
-    def _():
-        dfl_ref[0] = jnp.zeros_like(dfl_ref[0])
-        dfrp_ref[0] = jnp.zeros_like(dfrp_ref[0])
-
-    g = g_ref[0, 0]
-    mask = (_wiota(ht, w) >= d).astype(g.dtype)
-    dfl_ref[0] += g[:, :, :c] * mask
-    cur = dfrp_ref[0, :, pl.ds(d_max - d, w), :]
-    dfrp_ref[0, :, pl.ds(d_max - d, w), :] = cur + g[:, :, c:]
+    out_ref[0, 0, :, :, c:] = _shifted_window(frp_ref[0], d, d_max, w).astype(
+        out_ref.dtype
+    )
 
 
 def _corr_fwd_kernel(fl_ref, frp_ref, out_ref):
     d = pl.program_id(2)
     d_max = pl.num_programs(2)
     _, ht, w, c = fl_ref.shape
-    fr = frp_ref[0, :, pl.ds(d_max - d, w), :]
-    prod = fl_ref[0].astype(jnp.float32) * fr.astype(jnp.float32)
+    fr = _shifted_window(frp_ref[0], d, d_max, w)
+    prod = fl_ref[0].astype(jnp.float32) * fr
     corr = jnp.sum(prod, axis=-1) * (1.0 / c)
     out_ref[0, 0] = jnp.where(_wiota(ht, w, False) >= d, corr, 0.0).astype(
         out_ref.dtype
@@ -115,7 +118,7 @@ def _common_in_specs(ht: int, w: int, c: int, max_disp: int):
 def _concat_fwd(fl: jax.Array, fr: jax.Array, max_disp: int) -> jax.Array:
     b, h, w, c = fl.shape
     ht = _pick_row_block(h, w, c, max_disp, fl.dtype.itemsize)
-    fr_pad = jnp.pad(fr, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
+    fr_pad = _fr_pad(fr, max_disp)
     return pl.pallas_call(
         _concat_fwd_kernel,
         grid=(b, h // ht, max_disp),
@@ -130,45 +133,10 @@ def _concat_fwd(fl: jax.Array, fr: jax.Array, max_disp: int) -> jax.Array:
     )(fl, fr_pad)
 
 
-def _concat_bwd(max_disp: int, res, g: jax.Array):
-    fl, fr = res
-    b, h, w, c = fl.shape
-    ht = _pick_row_block(h, w, c, max_disp, fl.dtype.itemsize)
-    dfl, dfr_pad = pl.pallas_call(
-        _concat_bwd_kernel,
-        grid=(b, h // ht, max_disp),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, ht, w, 2 * c),
-                lambda bi, hi, di: (bi, di, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, ht, w, c),
-                lambda bi, hi, di: (bi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, ht, w + max_disp, c),
-                lambda bi, hi, di: (bi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, w, c), fl.dtype),
-            jax.ShapeDtypeStruct((b, h, max_disp + w, c), fl.dtype),
-        ],
-        interpret=_interpret(),
-    )(g)
-    return dfl, dfr_pad[:, :, max_disp:, :]
-
-
 def _corr_fwd(fl: jax.Array, fr: jax.Array, max_disp: int) -> jax.Array:
     b, h, w, c = fl.shape
     ht = _pick_row_block(h, w, c, max_disp, fl.dtype.itemsize)
-    fr_pad = jnp.pad(fr, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
+    fr_pad = _fr_pad(fr, max_disp)
     out = pl.pallas_call(
         _corr_fwd_kernel,
         grid=(b, h // ht, max_disp),
@@ -191,7 +159,20 @@ def _cv_fwd_rule(fl, fr, max_disp):
     return _concat_fwd(fl, fr, max_disp), (fl, fr)
 
 
-_cost_volume_concat_pallas.defvjp(_cv_fwd_rule, _concat_bwd)
+def _cv_bwd_rule(max_disp, res, g):
+    # backward via the jnp reference's VJP: the adjoint is a scatter-shaped
+    # sum of D shifted slices — XLA emits it as fused pad/slice adds, and a
+    # hand kernel has no bandwidth advantage there. (A Pallas backward using
+    # an in-kernel pad+roll accumulation hit a Mosaic limitation:
+    # "result/input offset mismatch on non-concat dimension".)
+    from ecm_tpu.ops.cost_volume import cost_volume_concat_jnp
+
+    fl, fr = res
+    _, vjp = jax.vjp(lambda a, b: cost_volume_concat_jnp(a, b, max_disp), fl, fr)
+    return vjp(g)
+
+
+_cost_volume_concat_pallas.defvjp(_cv_fwd_rule, _cv_bwd_rule)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
