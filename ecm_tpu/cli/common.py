@@ -125,4 +125,13 @@ def make_data_iter(cfg: ExperimentConfig):
         if not train:
             raise FileNotFoundError(f"no KITTI samples under {cfg.data.datapath!r}")
         return make_train_pipeline(train, load_sample, pcfg)
+    if ds == "middlebury":
+        from ecm_tpu.data.middlebury import list_middlebury, load_sample
+
+        train, _ = list_middlebury(cfg.data.datapath)
+        if not train:
+            raise FileNotFoundError(
+                f"no Middlebury scenes under {cfg.data.datapath!r}"
+            )
+        return make_train_pipeline(train, load_sample, pcfg)
     raise ValueError(f"unknown dataset {ds!r}")

@@ -24,7 +24,9 @@ from ecm_tpu.train.steps import make_eval_step
 def main(argv: list[str] | None = None) -> None:
     parser = base_parser("ECM-TPU evaluation (EPE / D1-all)")
     parser.add_argument(
-        "--dataset", default="sceneflow", choices=["sceneflow", "kitti2015", "kitti2012"]
+        "--dataset",
+        default="sceneflow",
+        choices=["sceneflow", "kitti2015", "kitti2012", "middlebury"],
     )
     parser.add_argument("--limit", type=int, default=0, help="max pairs (0 = all)")
     args = parser.parse_args(argv)
@@ -34,6 +36,10 @@ def main(argv: list[str] | None = None) -> None:
         from ecm_tpu.data.sceneflow import list_sceneflow, load_sample
 
         _, specs = list_sceneflow(args.datapath)
+    elif args.dataset == "middlebury":
+        from ecm_tpu.data.middlebury import list_middlebury, load_sample
+
+        specs, _ = list_middlebury(args.datapath)
     else:
         from ecm_tpu.data.kitti import list_kitti, load_sample
 
