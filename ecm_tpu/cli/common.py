@@ -40,6 +40,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", help="use Pallas kernels")
     p.add_argument("--mesh-disp", type=int, default=None, help="disp-axis mesh size")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    p.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="jax.debug_nans: fail fast on NaN (SURVEY.md section 5 sanitizers)",
+    )
+    p.add_argument("--tensorboard", default=None, help="TensorBoard logdir")
     return p
 
 
@@ -72,6 +78,8 @@ def resolve_config(args, default_preset: str) -> ExperimentConfig:
 def maybe_init_distributed(args) -> None:
     if getattr(args, "multihost", False):
         jax.distributed.initialize()
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
 
 
 def make_mesh_from(cfg: ExperimentConfig):

@@ -90,6 +90,7 @@ def main(argv: list[str] | None = None) -> None:
         ckpt_manager=manager,
         ckpt_every=cfg.train.ckpt_every,
         metrics_path=f"{cfg.train.ckpt_dir}/metrics.jsonl",
+        tensorboard_dir=args.tensorboard,
         eval_fn=eval_fn if val_specs else None,
         eval_every=cfg.train.eval_every or cfg.train.ckpt_every,
     )

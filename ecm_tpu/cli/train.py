@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> None:
         ckpt_manager=manager,
         ckpt_every=cfg.train.ckpt_every,
         metrics_path=f"{cfg.train.ckpt_dir}/metrics.jsonl",
+        tensorboard_dir=args.tensorboard,
     )
     print(f"done at step {int(state.step)}")
 

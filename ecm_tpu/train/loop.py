@@ -34,11 +34,17 @@ def train_loop(
     metrics_path: str | None = None,
     eval_fn: Callable[[TrainState, int], dict] | None = None,
     eval_every: int = 0,
+    tensorboard_dir: str | None = None,
 ) -> TrainState:
     """Run ``num_steps`` steps; resumes from ``state.step`` if nonzero."""
     sharding = batch_sharding(mesh) if mesh is not None else None
     start = int(state.step)
     log_f = open(metrics_path, "a") if metrics_path else None
+    tb = None
+    if tensorboard_dir:
+        from ecm_tpu.train.writers import MetricWriter
+
+        tb = MetricWriter(logdir=tensorboard_dir)
     t0 = time.perf_counter()
     window_images = 0
     try:
@@ -69,6 +75,8 @@ def train_loop(
                     if log_f:
                         log_f.write(json.dumps(m) + "\n")
                         log_f.flush()
+                    if tb is not None:
+                        tb.write(step + 1, m)
                     t0 = time.perf_counter()
                     window_images = 0
                 if ckpt_manager is not None and (step + 1) % ckpt_every == 0:
@@ -87,4 +95,6 @@ def train_loop(
     finally:
         if log_f:
             log_f.close()
+        if tb is not None:
+            tb.close()
     return state
