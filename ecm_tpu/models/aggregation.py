@@ -81,17 +81,10 @@ class ClassifHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from ecm_tpu.models.layers import Conv3DOpt
+
         x = ConvBN(self.channels, relu=True, dtype=self.dtype, name="conv1")(x, train)
-        x = nn.Conv(
-            1,
-            kernel_size=(3, 3, 3),
-            padding=[(1, 1)] * 3,
-            use_bias=True,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv2",
-        )(x)
+        x = Conv3DOpt(1, use_bias=True, dtype=self.dtype, name="conv2")(x)
         return x  # [B, D, H, W, 1]
 
 

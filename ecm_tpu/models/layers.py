@@ -38,6 +38,40 @@ def _to_tuple(v: int | Sequence[int], n: int) -> tuple[int, ...]:
     return tuple(v)
 
 
+class Conv3DOpt(nn.Module):
+    """3D conv with a switchable lowering (``ecm_tpu.ops.conv3d``): XLA's
+    native conv3d vs the decomposed batched-2D form that profiles ~MXU-
+    friendlier on TPU. Param layout matches ``nn.Conv`` ([*k, I, O] kernel
+    named "kernel"), so checkpoints are interchangeable across impls."""
+
+    features: int
+    strides: int = 1
+    use_bias: bool = False
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ecm_tpu.ops.conv3d import conv3d
+
+        kernel = self.param(
+            "kernel", conv_init, (3, 3, 3, x.shape[-1], self.features), jnp.float32
+        )
+        s = self.strides
+        out = conv3d(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=(s, s, s),
+            impl=self.impl,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class ConvBN(nn.Module):
     """Conv (2D or 3D by input rank) + BatchNorm, optional ReLU.
 
@@ -60,18 +94,28 @@ class ConvBN(nn.Module):
         strides = _to_tuple(self.strides, ndim)
         dilation = _to_tuple(self.dilation, ndim)
         padding = [(d * (k // 2), d * (k // 2)) for k, d in zip(kernel, dilation)]
-        x = nn.Conv(
-            self.features,
-            kernel_size=kernel,
-            strides=strides,
-            padding=padding,
-            kernel_dilation=dilation,
-            use_bias=not self.use_bn,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if ndim == 3 and kernel == (3, 3, 3) and dilation == (1, 1, 1):
+            # hot path: switchable conv3d lowering (see ops/conv3d.py)
+            x = Conv3DOpt(
+                self.features,
+                strides=strides[0],
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=kernel,
+                strides=strides,
+                padding=padding,
+                kernel_dilation=dilation,
+                use_bias=not self.use_bn,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
