@@ -84,6 +84,12 @@ class ECMStereo(nn.Module):
 
                 d4_map = softargmin_jnp(cost4) * 4.0  # [B, H/4, W/4]
                 disp = upsample_bilinear(d4_map[..., None], (h, w))[..., 0]
+            elif self.regress_mode == "fused" and not train:
+                # Pallas-fused upsample+soft-argmin (identical numerics to
+                # fullres; forward-only, so train falls through to fullres)
+                from ecm_tpu.ops.pallas_regression import fused_upsample_softargmin
+
+                disp = fused_upsample_softargmin(cost4, self.max_disp)
             else:
                 cost = upsample_trilinear(cost4, (self.max_disp, h, w))
                 disp = disparity_regression(cost, self.max_disp)  # [B, H, W]
