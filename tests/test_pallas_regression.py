@@ -40,3 +40,26 @@ class TestFusedRegression:
         cost4 = jnp.zeros((1, 12, 4, 8))
         out = np.asarray(fused_upsample_softargmin(cost4, 48))
         np.testing.assert_allclose(out, (48 - 1) / 2.0, atol=1e-4)
+
+
+class TestModelFusedMode:
+    def test_model_fused_matches_fullres(self, rng):
+        import jax
+        from ecm_tpu.models import build_model
+
+        L = jnp.asarray(rng.normal(size=(1, 32, 48, 3)).astype(np.float32))
+        R = jnp.asarray(rng.normal(size=(1, 32, 48, 3)).astype(np.float32))
+        m_full = build_model(
+            "stackhourglass", max_disp=16, feature_channels=8, remat=False
+        )
+        variables = m_full.init({"params": jax.random.PRNGKey(0)}, L, R, train=True)
+        m_fused = build_model(
+            "stackhourglass",
+            max_disp=16,
+            feature_channels=8,
+            remat=False,
+            regress_mode="fused",
+        )
+        out_full = np.asarray(m_full.apply(variables, L, R, train=False)[0])
+        out_fused = np.asarray(m_fused.apply(variables, L, R, train=False)[0])
+        np.testing.assert_allclose(out_fused, out_full, rtol=1e-3, atol=1e-3)
