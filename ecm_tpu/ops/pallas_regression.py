@@ -83,13 +83,13 @@ def _upsample4_axis(x: jax.Array, axis: int) -> jax.Array:
 
 
 def _regression_kernel(prev_ref, cur_ref, next_ref, out_ref):
-    """Block: one low-res row y -> 4 output rows. Inputs (1, D4, 1, W4) x3
-    (rows y-1, y, y+1, edge-clamped by the index maps)."""
-    d4 = cur_ref.shape[1]
-    w4 = cur_ref.shape[3]
-    prev = prev_ref[0, :, 0, :].astype(jnp.float32)  # (D4, W4)
-    cur = cur_ref[0, :, 0, :].astype(jnp.float32)
-    nxt = next_ref[0, :, 0, :].astype(jnp.float32)
+    """Block: one low-res row y -> 4 output rows. Inputs (1, 1, D4, W4) x3
+    (rows y-1, y, y+1 of the H-major transposed volume; Mosaic requires the
+    last two block dims to be full array dims, so H is dim 1)."""
+    d4 = cur_ref.shape[2]
+    prev = prev_ref[0, 0].astype(jnp.float32)  # (D4, W4)
+    cur = cur_ref[0, 0].astype(jnp.float32)
+    nxt = next_ref[0, 0].astype(jnp.float32)
     # H: 4 output rows from the (prev, cur, next) triple, scalar weights
     f0, f1, f2, f3 = _FRACS
     up_h = jnp.stack(
@@ -109,7 +109,8 @@ def _regression_kernel(prev_ref, cur_ref, next_ref, out_ref):
     m = jnp.max(logits, axis=0, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=0)
-    idx = jax.lax.broadcasted_iota(jnp.float32, (4 * d4, 1, 1), 0)
+    # tpu.iota is integer-only; cast after
+    idx = jax.lax.broadcasted_iota(jnp.int32, (4 * d4, 1, 1), 0).astype(jnp.float32)
     num = jnp.sum(p * idx, axis=0)
     out_ref[0, 0] = num / denom  # (4, W)
 
@@ -121,23 +122,32 @@ def fused_upsample_softargmin(cost4: jax.Array, max_disp: int) -> jax.Array:
     b, d4, h4, w4 = cost4.shape
     assert d4 * 4 == max_disp, (cost4.shape, max_disp)
     cost4 = cost4.astype(jnp.float32)
+    # replicate-pad H by one row each side so the three row index maps are
+    # pure offsets (Mosaic rejects clamping arithmetic inside index maps);
+    # edge replication == the resize clamp semantics.
+    # H-major layout [B, H4+2, D4, W4]: the row-blocked dim must not be one
+    # of the two minor dims (Mosaic block-shape divisibility rule), and the
+    # (D4, W4) minor dims are full-array so any shape is legal.
+    cost4t = jnp.transpose(cost4, (0, 2, 1, 3))
+    cost4p = jnp.concatenate(
+        [cost4t[:, :1], cost4t, cost4t[:, -1:]], axis=1
+    )  # [B, H4+2, D4, W4]
 
-    def clamp(i, n):
-        return jnp.clip(i, 0, n - 1)
+    def row_spec(off):
+        return pl.BlockSpec(
+            (1, 1, d4, w4),
+            lambda bi, yi: (bi, yi + off, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
-    row_spec = lambda off: pl.BlockSpec(
-        (1, d4, 1, w4),
-        lambda bi, yi: (bi, 0, clamp(yi + off, h4), 0),
-        memory_space=pltpu.VMEM,
-    )
     out = pl.pallas_call(
         _regression_kernel,
         grid=(b, h4),
-        in_specs=[row_spec(-1), row_spec(0), row_spec(+1)],
+        in_specs=[row_spec(0), row_spec(1), row_spec(2)],
         out_specs=pl.BlockSpec(
             (1, 1, 4, 4 * w4), lambda bi, yi: (bi, yi, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, h4, 4, 4 * w4), jnp.float32),
         interpret=_interpret(),
-    )(cost4, cost4, cost4)
+    )(cost4p, cost4p, cost4p)
     return out.reshape(b, 4 * h4, 4 * w4)
