@@ -6,10 +6,10 @@ The reference path (M5+M6) materializes the full-resolution cost volume
 ``[B, D, H, W]`` (f32, 368 MB at 384x1248 d192) through resize + softmax +
 expectation. This kernel computes the final disparity map directly from the
 quarter-resolution volume ``[B, D/4, H/4, W/4]``: for each low-res row it
-upsamples H/W/D by the exact x4 half-pixel-center linear-interpolation
-weights (static per phase), runs the f32 softmax over D and the expectation
-entirely in VMEM, and writes only the ``[4, W]`` output rows. HBM traffic
-drops from ~10x the low-res volume to ~3 reads of it + the [H, W] output.
+forms the x4 half-pixel-center linear-interpolation in **phase-decomposed**
+form, runs the f32 softmax over D and the expectation entirely in VMEM, and
+writes only 16 output vectors of length W/4. HBM traffic drops from ~10x the
+low-res volume to ~3 reads of it + the [H, W] output.
 
 Phase weights (scale 4, align_corners=False): output index 4i+p samples
 source coordinate i + (p - 1.5) / 4, i.e. neighbor pairs (i-1, i) for
@@ -18,13 +18,20 @@ fractions {0.125, 0.375}; edges clamp (matches jax.image.resize /
 F.interpolate align_corners=False). Exactness vs the jnp reference is
 asserted in tests/test_pallas_regression.py.
 
+Mosaic notes (all learned on the real chip): the upsample must NOT be
+materialized via ``jnp.repeat``/interleaving reshapes — an interleave along
+the lane axis is an "unsupported shape cast". Instead each of the 4x4x4
+(H, W, D) phases is a separate ``(D/4, W/4)`` volume built from edge-clamped
+static shifts (slice + concat, native VPU ops); the softmax reduction over
+full-res D is the sum over (D-phase, low-res D), so no full-res tensor ever
+exists. The phase interleave to ``[B, H, W]`` is a cheap XLA
+transpose+reshape outside the kernel.
+
 Forward-only: the eval/serving path. Training keeps the jnp reference
 (autodiff through resize+softmax), selected by ``ECMStereo`` automatically.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -40,79 +47,69 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _upsample4_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Exact x4 linear (half-pixel, edge-clamped) upsample along ``axis``
-    using only repeats, static shifts and constant masks (VPU-friendly)."""
+def _shift(x: jax.Array, axis: int, delta: int) -> jax.Array:
+    """Edge-clamped static shift: result[i] = x[clamp(i + delta)]."""
     n = x.shape[axis]
+    idx = [slice(None)] * x.ndim
+    edge = [slice(None)] * x.ndim
+    if delta == -1:  # x[i-1]
+        idx[axis] = slice(0, n - 1)
+        edge[axis] = slice(0, 1)
+        return jnp.concatenate([x[tuple(edge)], x[tuple(idx)]], axis=axis)
+    idx[axis] = slice(1, n)
+    edge[axis] = slice(n - 1, n)
+    return jnp.concatenate([x[tuple(idx)], x[tuple(edge)]], axis=axis)
 
-    def shift(a, delta):  # edge-clamped shift along axis
-        idx = [slice(None)] * a.ndim
-        edge = [slice(None)] * a.ndim
-        if delta == -1:  # a[i-1]
-            idx[axis] = slice(0, n - 1)
-            edge[axis] = slice(0, 1)
-            return jnp.concatenate([a[tuple(edge)], a[tuple(idx)]], axis=axis)
-        idx[axis] = slice(1, n)
-        edge[axis] = slice(n - 1, n)
-        return jnp.concatenate([a[tuple(idx)], a[tuple(edge)]], axis=axis)
 
-    rep = jnp.repeat(x, 4, axis=axis)
-    rep_l = jnp.repeat(shift(x, -1), 4, axis=axis)
-    rep_r = jnp.repeat(shift(x, +1), 4, axis=axis)
-
-    # phase weights built from scalars + iota (pallas kernels cannot capture
-    # array constants)
-    shape = [1] * x.ndim
-    shape[axis] = 4 * n
-    ramp = (
-        jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis) % 4
-    )
-    f32 = jnp.float32
-    frac = jnp.where(
-        ramp == 0,
-        f32(_FRACS[0]),
-        jnp.where(
-            ramp == 1, f32(_FRACS[1]), jnp.where(ramp == 2, f32(_FRACS[2]), f32(_FRACS[3]))
-        ),
-    )
-    use_left = (ramp < 2).astype(f32)
-    # p<2: (1-frac)*left_neighbor + frac*center ; p>=2: (1-frac)*center + frac*right
-    left_term = (1.0 - frac) * rep_l + frac * rep
-    right_term = (1.0 - frac) * rep + frac * rep_r
-    return use_left * left_term + (1.0 - use_left) * right_term
+def _phases(x: jax.Array, axis: int) -> list[jax.Array]:
+    """The 4 upsample phases along ``axis`` as separate same-shape arrays:
+    phases[p][i] = (1-f_p)*left_p(i) + f_p*right_p(i) with edge clamp."""
+    lo = _shift(x, axis, -1)
+    hi = _shift(x, axis, +1)
+    f0, f1, f2, f3 = _FRACS
+    return [
+        (1 - f0) * lo + f0 * x,
+        (1 - f1) * lo + f1 * x,
+        (1 - f2) * x + f2 * hi,
+        (1 - f3) * x + f3 * hi,
+    ]
 
 
 def _regression_kernel(prev_ref, cur_ref, next_ref, out_ref):
-    """Block: one low-res row y -> 4 output rows. Inputs (1, 1, D4, W4) x3
-    (rows y-1, y, y+1 of the H-major transposed volume; Mosaic requires the
-    last two block dims to be full array dims, so H is dim 1)."""
+    """Block: one low-res row y -> 16 (H-phase, W-phase) output vectors of
+    length W4. Inputs (1, 1, D4, W4) x3 (rows y-1, y, y+1 of the H-major
+    transposed volume; Mosaic requires the last two block dims to be full
+    array dims, so H is dim 1)."""
     d4 = cur_ref.shape[2]
     prev = prev_ref[0, 0].astype(jnp.float32)  # (D4, W4)
     cur = cur_ref[0, 0].astype(jnp.float32)
     nxt = next_ref[0, 0].astype(jnp.float32)
-    # H: 4 output rows from the (prev, cur, next) triple, scalar weights
-    f0, f1, f2, f3 = _FRACS
-    up_h = jnp.stack(
-        [
-            (1 - f0) * prev + f0 * cur,
-            (1 - f1) * prev + f1 * cur,
-            (1 - f2) * cur + f2 * nxt,
-            (1 - f3) * cur + f3 * nxt,
-        ],
-        axis=1,
-    )  # (D4, 4, W4)
-    # W then D upsample (exact x4 linear)
-    up_w = _upsample4_axis(up_h, axis=2)  # (D4, 4, W)
-    up_d = _upsample4_axis(up_w, axis=0)  # (D, 4, W)
-    # soft-argmin over D (f32, numerically stable)
-    logits = -up_d
-    m = jnp.max(logits, axis=0, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=0)
-    # tpu.iota is integer-only; cast after
-    idx = jax.lax.broadcasted_iota(jnp.int32, (4 * d4, 1, 1), 0).astype(jnp.float32)
-    num = jnp.sum(p * idx, axis=0)
-    out_ref[0, 0] = num / denom  # (4, W)
+    f = _FRACS
+    # full-res disparity index of low-res plane i at D-phase dp is 4*i + dp
+    idx4 = 4.0 * jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0).astype(
+        jnp.float32
+    )
+    h_vols = [
+        (1 - f[0]) * prev + f[0] * cur,
+        (1 - f[1]) * prev + f[1] * cur,
+        (1 - f[2]) * cur + f[2] * nxt,
+        (1 - f[3]) * cur + f[3] * nxt,
+    ]
+    for hp, hv in enumerate(h_vols):
+        for wp, u in enumerate(_phases(hv, axis=1)):
+            # 4 D-phase volumes; softmax over full-res D == over (dp, i)
+            d_vols = _phases(u, axis=0)
+            m = d_vols[0]
+            for dv in d_vols[1:]:
+                m = jnp.minimum(m, dv)  # logits = -cost: max logit = min cost
+            m = jnp.min(m, axis=0)  # (W4,)
+            denom = jnp.zeros_like(m)
+            num = jnp.zeros_like(m)
+            for dp, dv in enumerate(d_vols):
+                p = jnp.exp(m - dv)  # exp(-cost - max(-cost))
+                denom = denom + jnp.sum(p, axis=0)
+                num = num + jnp.sum(p * (idx4 + float(dp)), axis=0)
+            out_ref[0, 0, hp, wp, :] = num / denom
 
 
 def fused_upsample_softargmin(cost4: jax.Array, max_disp: int) -> jax.Array:
@@ -145,9 +142,12 @@ def fused_upsample_softargmin(cost4: jax.Array, max_disp: int) -> jax.Array:
         grid=(b, h4),
         in_specs=[row_spec(0), row_spec(1), row_spec(2)],
         out_specs=pl.BlockSpec(
-            (1, 1, 4, 4 * w4), lambda bi, yi: (bi, yi, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, 4, 4, w4),
+            lambda bi, yi: (bi, yi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h4, 4, 4 * w4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h4, 4, 4, w4), jnp.float32),
         interpret=_interpret(),
     )(cost4p, cost4p, cost4p)
-    return out.reshape(b, 4 * h4, 4 * w4)
+    # interleave phases: [b, yi, hp, wp, xj] -> [b, yi, hp, xj, wp] -> [b, H, W]
+    return jnp.transpose(out, (0, 1, 2, 4, 3)).reshape(b, 4 * h4, 4 * w4)
