@@ -1,0 +1,204 @@
+"""Per-part on-chip timing + roofline/MFU report for the flagship model at
+the headline config (384x1248, D=192, batch 4, bf16 — BASELINE.json config 1
+serving shape).
+
+Times each pipeline part (features, cost volume jnp vs Pallas, context+
+aggregation+heads, regression fused vs fullres, full forward) with an
+on-device ``lax.scan`` whose per-iteration input is scaled by a distinct
+scalar — the data dependency defeats both dispatch-dedup and loop-invariant
+hoisting (scanning over identical inputs lets XLA hoist the body).
+
+For each part: achieved TFLOP/s and %-of-MXU-peak, achieved GB/s against the
+analytic minimum HBM traffic (``bytes_stereo_parts``) and %-of-HBM-peak, the
+roofline bound (compute vs memory), speed-of-light time, and the gap.
+
+Writes ``benchmarks/ROOFLINE.json``; prints a table.
+
+Peaks default to TPU v5e (v5 lite): 197 bf16 TFLOP/s, 819 GB/s HBM — override
+with ECM_TPU_PEAK_TFLOPS / ECM_TPU_HBM_GBPS for other chips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_TFLOPS = float(os.environ.get("ECM_TPU_PEAK_TFLOPS", 197.0))
+HBM_GBPS = float(os.environ.get("ECM_TPU_HBM_GBPS", 819.0))
+
+B, H, W, MAXD, C = 4, 384, 1248, 192, 32
+H4, W4, D4 = H // 4, W // 4, MAXD // 4
+ITERS = 8
+
+
+def timeit(fn, *args, iters: int = ITERS) -> float:
+    """On-device scan over per-iter-scaled inputs; returns seconds/iter."""
+    scales = jnp.linspace(0.999, 1.001, iters)
+
+    @jax.jit
+    def many(*a):
+        def body(acc, s):
+            out = fn(*(x * s.astype(x.dtype) for x in a))
+            return acc + out.astype(jnp.float32).sum(), None
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
+        return tot
+
+    float(many(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(many(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from ecm_tpu.models import build_model
+    from ecm_tpu.models.aggregation import ECMAggregation
+    from ecm_tpu.models.features import FeatureExtraction
+    from ecm_tpu.ops.cost_volume import cost_volume
+    from ecm_tpu.ops.pallas_regression import fused_upsample_softargmin
+    from ecm_tpu.ops.softargmin import disparity_regression
+    from ecm_tpu.ops.upsample import upsample_trilinear
+    from ecm_tpu.utils.profiling import bytes_stereo_parts, flops_stereo_parts
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    results: dict[str, dict] = {}
+    flops = flops_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fused")
+    bys = bytes_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fused")
+
+    def record(name: str, secs_per_iter: float, flops_pair: float, bytes_pair: float):
+        """secs_per_iter covers a BATCH; flops/bytes are per stereo pair."""
+        t_pair = secs_per_iter / B
+        tf = flops_pair / t_pair / 1e12
+        gbps = bytes_pair / t_pair / 1e9
+        t_sol = max(flops_pair / (PEAK_TFLOPS * 1e12), bytes_pair / (HBM_GBPS * 1e9))
+        results[name] = {
+            "ms_per_pair": round(1e3 * t_pair, 3),
+            "tflops_per_s": round(tf, 2),
+            "pct_mxu_peak": round(100 * tf / PEAK_TFLOPS, 1),
+            "min_gb_moved": round(bytes_pair / 1e9, 3),
+            "achieved_gbps_at_min_traffic": round(gbps, 1),
+            "pct_hbm_peak": round(100 * gbps / HBM_GBPS, 1),
+            "bound": "compute"
+            if flops_pair / (PEAK_TFLOPS * 1e12) > bytes_pair / (HBM_GBPS * 1e9)
+            else "memory",
+            "sol_ms": round(1e3 * t_sol, 3),
+            "x_from_sol": round(t_pair / t_sol, 2) if t_sol > 0 else None,
+        }
+
+    # ---- features (siamese: both images) ----
+    feat = FeatureExtraction(C, dtype=jnp.bfloat16)
+    img = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    fvars = feat.init({"params": key}, img, train=True)
+    fvars = {"params": fvars["params"], "batch_stats": fvars.get("batch_stats", {})}
+
+    def feats(left, right):
+        return (
+            feat.apply(fvars, left, train=False).astype(jnp.float32).sum()
+            + feat.apply(fvars, right, train=False).astype(jnp.float32).sum()
+        )
+
+    record("features_x2", timeit(feats, img, img), flops["features"], bys["features"])
+
+    # ---- cost volume (jnp vs Pallas) ----
+    fl = jnp.asarray(rng.normal(size=(B, H4, W4, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    fr = jnp.asarray(rng.normal(size=(B, H4, W4, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    for label, up in (("cost_volume_jnp", False), ("cost_volume_pallas", True)):
+        record(
+            label,
+            timeit(lambda a, b, _up=up: cost_volume(a, b, D4, use_pallas=_up), fl, fr),
+            flops["cost_volume"],
+            bys["cost_volume"],
+        )
+
+    # ---- context + aggregation + head (eval: 1 head) ----
+    agg = ECMAggregation(channels=C, remat=False, dtype=jnp.bfloat16)
+    vol = jnp.asarray(
+        rng.normal(size=(B, D4, H4, W4, 2 * C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    avars = agg.init({"params": key}, vol, fl, train=True)
+    avars = {"params": avars["params"], "batch_stats": avars.get("batch_stats", {})}
+
+    def agg_fn(v, f):
+        return agg.apply(avars, v, f, train=False)[-1]
+
+    record(
+        "aggregation",
+        timeit(agg_fn, vol, fl),
+        flops["context"] + flops["aggregation"] + flops["heads"],
+        bys["context"] + bys["aggregation"] + bys["heads"],
+    )
+
+    # ---- regression (fused Pallas vs canonical fullres) ----
+    cost4 = jnp.asarray(rng.normal(size=(B, D4, H4, W4)).astype(np.float32))
+    record(
+        "regression_fused",
+        timeit(lambda c: fused_upsample_softargmin(c, MAXD), cost4),
+        flops["regression"],
+        bys["regression"],
+    )
+    bys_full = bytes_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fullres")
+    flops_full = flops_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fullres")
+    record(
+        "regression_fullres",
+        timeit(
+            lambda c: disparity_regression(
+                upsample_trilinear(c, (MAXD, H, W)), MAXD
+            ),
+            cost4,
+        ),
+        flops_full["regression"],
+        bys_full["regression"],
+    )
+
+    # ---- full eval forward (fused regression) ----
+    model = build_model(
+        "stackhourglass", max_disp=MAXD, dtype=jnp.bfloat16, regress_mode="fused"
+    )
+    mvars = model.init({"params": key}, img, img, train=True)
+    mvars = {"params": mvars["params"], "batch_stats": mvars.get("batch_stats", {})}
+
+    def full(left, right):
+        return model.apply(mvars, left, right, train=False)[-1]
+
+    tot_flops = sum(flops.values())
+    tot_bytes = sum(bys.values())
+    record("full_forward", timeit(full, img, img), tot_flops, tot_bytes)
+    results["full_forward"]["mfu"] = round(
+        results["full_forward"]["tflops_per_s"] / PEAK_TFLOPS, 4
+    )
+
+    meta = {
+        "config": f"{H}x{W} d{MAXD} b{B} bf16 eval",
+        "peak_tflops": PEAK_TFLOPS,
+        "hbm_gbps": HBM_GBPS,
+        "device": str(jax.devices()[0]),
+        "parts": results,
+    }
+    out_path = os.path.join(os.path.dirname(__file__), "ROOFLINE.json")
+    with open(out_path, "w") as f:
+        json.dump(meta, f, indent=1)
+    hdr = f"{'part':<20}{'ms/pair':>9}{'TF/s':>8}{'%MXU':>7}{'GB(min)':>9}{'GB/s':>7}{'%HBM':>7}  {'bound':<8}{'SOL ms':>8}{'x SOL':>7}"
+    print(hdr)
+    for name, r in results.items():
+        print(
+            f"{name:<20}{r['ms_per_pair']:>9.3f}{r['tflops_per_s']:>8.2f}"
+            f"{r['pct_mxu_peak']:>7.1f}{r['min_gb_moved']:>9.3f}"
+            f"{r['achieved_gbps_at_min_traffic']:>7.1f}{r['pct_hbm_peak']:>7.1f}  "
+            f"{r['bound']:<8}{r['sol_ms']:>8.3f}{r['x_from_sol']:>7.2f}"
+        )
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,10 @@ def resolve_config(args, default_preset: str) -> ExperimentConfig:
     train = cfg.train
     if args.steps is not None:
         train = dataclasses.replace(train, num_steps=args.steps)
+    elif args.epochs is not None:
+        # resolved to steps once the dataset is listed (train CLIs call
+        # steps_from_epochs with the sample count make_data_iter returns)
+        train = dataclasses.replace(train, epochs=args.epochs)
     if args.lr is not None:
         train = dataclasses.replace(train, lr=args.lr)
     if args.mesh_disp is not None:
@@ -96,7 +100,11 @@ def make_mesh_from(cfg: ExperimentConfig):
 
 
 def make_data_iter(cfg: ExperimentConfig):
-    """Resolve the train-data iterator for cfg.data.dataset."""
+    """Resolve the train-data iterator for cfg.data.dataset.
+
+    Returns ``(iterator, n_samples)``; ``n_samples`` is None for unbounded
+    synthetic streams (used by ``steps_from_epochs``).
+    """
     from ecm_tpu.data.pipeline import PipelineConfig, make_synthetic_pipeline
 
     pcfg = PipelineConfig(
@@ -108,12 +116,13 @@ def make_data_iter(cfg: ExperimentConfig):
     ds = cfg.data.dataset
     if ds == "synthetic":
         h, w = cfg.data.crop
-        return make_synthetic_pipeline(
+        it = make_synthetic_pipeline(
             dataclasses.replace(pcfg, worker_count=0),
             h=h,
             w=w,
             max_disp=min(cfg.model.max_disp * 0.8, 40.0),
         )
+        return it, None
     from ecm_tpu.data.pipeline import make_train_pipeline
 
     if ds == "sceneflow":
@@ -124,7 +133,7 @@ def make_data_iter(cfg: ExperimentConfig):
             raise FileNotFoundError(
                 f"no SceneFlow samples under {cfg.data.datapath!r}"
             )
-        return make_train_pipeline(train, load_sample, pcfg)
+        return make_train_pipeline(train, load_sample, pcfg), len(train)
     if ds in ("kitti2015", "kitti2012"):
         from ecm_tpu.data.kitti import list_kitti, load_sample
 
@@ -132,7 +141,7 @@ def make_data_iter(cfg: ExperimentConfig):
         train, _ = list_kitti(cfg.data.datapath, year=year)
         if not train:
             raise FileNotFoundError(f"no KITTI samples under {cfg.data.datapath!r}")
-        return make_train_pipeline(train, load_sample, pcfg)
+        return make_train_pipeline(train, load_sample, pcfg), len(train)
     if ds == "middlebury":
         from ecm_tpu.data.middlebury import list_middlebury, load_sample
 
@@ -141,5 +150,20 @@ def make_data_iter(cfg: ExperimentConfig):
             raise FileNotFoundError(
                 f"no Middlebury scenes under {cfg.data.datapath!r}"
             )
-        return make_train_pipeline(train, load_sample, pcfg)
+        return make_train_pipeline(train, load_sample, pcfg), len(train)
     raise ValueError(f"unknown dataset {ds!r}")
+
+
+def steps_from_epochs(cfg: ExperimentConfig, n_samples: int | None) -> int:
+    """Resolve the step budget: explicit ``num_steps`` unless ``--epochs`` was
+    given, in which case steps = epochs * floor(dataset / global_batch)
+    (the reference's epoch loop over a drop-last DataLoader, SURVEY.md 3.1)."""
+    if cfg.train.epochs is None:
+        return cfg.train.num_steps
+    if n_samples is None:
+        raise ValueError(
+            "--epochs needs a finite dataset; synthetic streams are unbounded "
+            "— use --steps instead"
+        )
+    steps_per_epoch = max(1, n_samples // cfg.data.global_batch)
+    return cfg.train.epochs * steps_per_epoch

@@ -16,6 +16,7 @@ from ecm_tpu.cli.common import (
     make_mesh_from,
     maybe_init_distributed,
     resolve_config,
+    steps_from_epochs,
 )
 from ecm_tpu.parallel.sharding import replicate
 from ecm_tpu.train import checkpoint as ckpt_lib
@@ -50,13 +51,14 @@ def main(argv: list[str] | None = None) -> None:
         if step0:
             print(f"auto-resumed from step {step0}")
 
-    data_iter = make_data_iter(cfg)
+    data_iter, n_samples = make_data_iter(cfg)
+    num_steps = steps_from_epochs(cfg, n_samples)
     train_step = make_train_step(model, cfg.model.max_disp)
     state = train_loop(
         state,
         train_step,
         data_iter,
-        num_steps=cfg.train.num_steps,
+        num_steps=num_steps,
         mesh=mesh,
         log_every=cfg.train.log_every,
         ckpt_manager=manager,

@@ -52,6 +52,7 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     num_steps: int = 10_000
+    epochs: int | None = None  # --epochs: resolved to steps via dataset size
     lr: float = 1e-3
     lr_drops: tuple[tuple[int, float], ...] = ()  # (step, new_lr)
     ckpt_dir: str = "checkpoints"

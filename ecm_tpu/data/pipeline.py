@@ -79,13 +79,30 @@ def make_train_pipeline(
 
 
 def make_eval_iterator(
-    specs: list, load_fn, batch_size: int = 1
+    specs: list, load_fn, batch_size: int = 1, pad_multiple: int = 16
 ) -> Iterator[dict[str, np.ndarray]]:
     """Simple sequential eval iterator (full images, no shuffle, this host
-    reads everything — eval is cheap and runs on host 0)."""
+    reads everything — eval is cheap and runs on host 0).
+
+    Full images are padded (top/right, zeros) to a multiple of
+    ``pad_multiple`` — the flagship model's stride-16 contract (features /4,
+    then two stride-2 hourglass levels). SceneFlow frames are 540x960 and
+    would otherwise crash the hourglass skip-adds. Zero-padded disparity is
+    masked out of every metric automatically (``valid_mask``: gt > 0); the
+    per-sample ``pads`` entry lets callers unpad predictions.
+    """
+    from ecm_tpu.data.preprocess import pad_to_multiple
+
     batch: list[dict] = []
     for spec in specs:
-        batch.append(load_fn(spec, crop=None))
+        sample = dict(load_fn(spec, crop=None))
+        if pad_multiple > 1:
+            pads = (0, 0)
+            for key in ("left", "right", "disparity"):
+                if key in sample:
+                    sample[key], pads = pad_to_multiple(sample[key], pad_multiple)
+            sample["pads"] = np.asarray(pads, dtype=np.int32)
+        batch.append(sample)
         if len(batch) == batch_size:
             yield {k: np.stack([b[k] for b in batch]) for k in batch[0]}
             batch = []

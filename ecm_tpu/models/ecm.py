@@ -8,8 +8,12 @@ Pipeline (train): left/right ``[B, H, W, 3]`` ->
   per-stage trilinear upsample to ``[B, D, H, W]`` -> soft-argmin ->
   3 disparity maps ``[B, H, W]`` (eval: last only).
 
-H and W must be multiples of 4 (callers pad — see
-``ecm_tpu.data.preprocess.pad_to_multiple``).
+Shape contract: ``ECMStereo`` needs H, W multiples of 16 (features are /4
+and the hourglass encoder strides by 2 twice on the /4 volume, so the
+decoder skip-adds only line up when H/4 and W/4 are even-even);
+``ECMBasic`` (no hourglass) needs multiples of 4. Callers pad — see
+``ecm_tpu.data.preprocess.pad_to_multiple`` and
+``ecm_tpu.data.pipeline.make_eval_iterator``.
 """
 
 from __future__ import annotations
@@ -27,6 +31,39 @@ from ecm_tpu.ops.cost_volume import cost_volume
 from ecm_tpu.ops.softargmin import disparity_regression
 from ecm_tpu.ops.upsample import upsample_trilinear
 from ecm_tpu.parallel.sharding import constrain_volume
+
+
+def regress_disparity(
+    cost4: jax.Array,
+    max_disp: int,
+    h: int,
+    w: int,
+    mode: str,
+    train: bool,
+) -> jax.Array:
+    """Shared regression tail (M5+M6): quarter-res cost map
+    ``[B, D/4, H/4, W/4]`` -> disparity ``[B, H, W]``.
+
+    - "fullres": reference-canonical — trilinear-upsample the cost volume to
+      [B, D, H, W] then soft-argmin (SURVEY.md 3.4 M5/M6).
+    - "fused" (eval only): Pallas kernel computing the identical numerics
+      without materializing the full-res volume; train falls through to
+      fullres (the kernel is forward-only).
+    - "lowres": soft-argmin at quarter resolution, scale x4, bilinear-upsample
+      the disparity map — different (cheaper) numerics, the fast serving path.
+    """
+    if mode == "lowres":
+        from ecm_tpu.ops.softargmin import softargmin_jnp
+        from ecm_tpu.ops.upsample import upsample_bilinear
+
+        d4_map = softargmin_jnp(cost4) * 4.0  # [B, H/4, W/4]
+        return upsample_bilinear(d4_map[..., None], (h, w))[..., 0]
+    if mode == "fused" and not train:
+        from ecm_tpu.ops.pallas_regression import fused_upsample_softargmin
+
+        return fused_upsample_softargmin(cost4, max_disp)
+    cost = upsample_trilinear(cost4, (max_disp, h, w))
+    return disparity_regression(cost, max_disp)  # [B, H, W]
 
 
 class ECMStereo(nn.Module):
@@ -53,7 +90,11 @@ class ECMStereo(nn.Module):
         self, left: jax.Array, right: jax.Array, train: bool = False
     ) -> list[jax.Array]:
         b, h, w, _ = left.shape
-        assert h % 4 == 0 and w % 4 == 0, f"H,W must be multiples of 4, got {h}x{w}"
+        assert h % 16 == 0 and w % 16 == 0, (
+            f"ECMStereo needs H,W multiples of 16 (stride-2 hourglass x2 on "
+            f"the /4 volume), got {h}x{w} — pad inputs with "
+            f"ecm_tpu.data.preprocess.pad_to_multiple(img, 16)"
+        )
         d4 = self.max_disp // 4
         dt = self.dtype
 
@@ -76,25 +117,10 @@ class ECMStereo(nn.Module):
             name="aggregation",
         )(vol, fl, train)  # list of [B, D/4, H/4, W/4]
 
-        disps = []
-        for cost4 in costs4:
-            if self.regress_mode == "lowres":
-                from ecm_tpu.ops.softargmin import softargmin_jnp
-                from ecm_tpu.ops.upsample import upsample_bilinear
-
-                d4_map = softargmin_jnp(cost4) * 4.0  # [B, H/4, W/4]
-                disp = upsample_bilinear(d4_map[..., None], (h, w))[..., 0]
-            elif self.regress_mode == "fused" and not train:
-                # Pallas-fused upsample+soft-argmin (identical numerics to
-                # fullres; forward-only, so train falls through to fullres)
-                from ecm_tpu.ops.pallas_regression import fused_upsample_softargmin
-
-                disp = fused_upsample_softargmin(cost4, self.max_disp)
-            else:
-                cost = upsample_trilinear(cost4, (self.max_disp, h, w))
-                disp = disparity_regression(cost, self.max_disp)  # [B, H, W]
-            disps.append(disp)
-        return disps
+        return [
+            regress_disparity(cost4, self.max_disp, h, w, self.regress_mode, train)
+            for cost4 in costs4
+        ]
 
 
 class ECMBasic(nn.Module):
@@ -106,6 +132,8 @@ class ECMBasic(nn.Module):
     cost_mode: str = "concat"
     context_fusion: str = "add"
     use_pallas: bool = False
+    remat: bool = True
+    regress_mode: str = "fullres"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -115,6 +143,9 @@ class ECMBasic(nn.Module):
         from ecm_tpu.models.context import ContextMapping
 
         b, h, w, _ = left.shape
+        assert h % 4 == 0 and w % 4 == 0, (
+            f"ECMBasic needs H,W multiples of 4, got {h}x{w}"
+        )
         d4 = self.max_disp // 4
         c = self.feature_channels
         dt = self.dtype
@@ -131,14 +162,30 @@ class ECMBasic(nn.Module):
             x = ContextMapping(
                 channels3d=c, fusion=self.context_fusion, dtype=dt, name="context0"
             )(fl, x, train)
+
+        class _ResBlock(nn.Module):
+            """dres residual: convBN-ReLU + convBN, identity skip."""
+
+            channels: int
+            train: bool = False
+            dtype: jnp.dtype = jnp.float32
+
+            @nn.compact
+            def __call__(self, x: jax.Array) -> jax.Array:
+                y = ConvBN(self.channels, relu=True, dtype=self.dtype, name="c1")(
+                    x, self.train
+                )
+                y = ConvBN(self.channels, relu=False, dtype=self.dtype, name="c2")(
+                    y, self.train
+                )
+                return x + y
+
+        block_cls = nn.remat(_ResBlock) if self.remat else _ResBlock
         for i in range(4):
-            y = ConvBN(c, relu=True, dtype=dt, name=f"dres{i + 1}_1")(x, train)
-            y = ConvBN(c, relu=False, dtype=dt, name=f"dres{i + 1}_2")(y, train)
-            x = x + y
+            x = block_cls(c, train=train, dtype=dt, name=f"dres{i + 1}")(x)
         cost4 = ClassifHead(c, dtype=dt, name="classif")(x, train)
         cost4 = jnp.squeeze(cost4, axis=-1)
-        cost = upsample_trilinear(cost4, (self.max_disp, h, w))
-        return [disparity_regression(cost, self.max_disp)]
+        return [regress_disparity(cost4, self.max_disp, h, w, self.regress_mode, train)]
 
 
 def build_model(name: str = "stackhourglass", **kwargs) -> nn.Module:

@@ -14,7 +14,7 @@ activation dtype (bf16 cost values would lose ~3 decimal digits in the
 expectation over D=192). A fused Pallas version that combines the trilinear
 D/H/W upsample with the softmax+expectation — avoiding materialising the
 full-resolution [B, 192, H, W] volume in HBM — lives in
-:mod:`ecm_tpu.ops.pallas_softargmin`.
+:mod:`ecm_tpu.ops.pallas_regression` (``fused_upsample_softargmin``).
 """
 
 from __future__ import annotations
