@@ -94,6 +94,15 @@ class ECMAggregation(nn.Module):
     Input: cost volume ``[B, D, H/4, W/4, Cin]`` + 2D context features
     ``[B, H/4, W/4, C2]``. Output: list of per-stage cost maps
     ``[B, D, H/4, W/4]`` (3 in train mode, last-only in eval).
+
+    ``fused``: "auto" | "on" | "off" — route the stride-1 conv pairs (dres0
+    with the context add folded in, dres1 with its residual, the classif
+    head) through the fused Pallas kernel
+    (``ecm_tpu.ops.pallas_fused_agg.fused_conv3d_pair``) with
+    inference-folded BN. Eval-only (training keeps the autodiff XLA chain;
+    BN batch stats cannot fold). "auto" = on when running on a TPU backend.
+    Parameters are IDENTICAL across modes (the fused path reads the ConvBN
+    param/stat tree directly), so checkpoints are interchangeable.
     """
 
     channels: int = 32
@@ -101,7 +110,19 @@ class ECMAggregation(nn.Module):
     context_fusion: str = "add"  # see ContextMapping
     context_stages: tuple[int, ...] = (0, 1, 2, 3)  # 0 = after dres0
     remat: bool = True
+    fused: str = "auto"  # "auto" | "on" | "off"
     dtype: jnp.dtype = jnp.float32
+
+    def _fold_convbn(self, name: str):
+        """Inference-fold a ConvBN child's BN into (kernel, scale, bias).
+        ``name`` may be a nested "a/b" path into the param tree."""
+        p = self.variables["params"]
+        s = self.variables["batch_stats"]
+        for part in name.split("/"):
+            p, s = p[part], s[part]
+        scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + 1e-5)
+        bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+        return p["conv"]["kernel"], scale, bias
 
     @nn.compact
     def __call__(
@@ -110,6 +131,16 @@ class ECMAggregation(nn.Module):
         c = self.channels
         dt = self.dtype
 
+        use_fused = (
+            not train
+            and self.context_fusion in ("add", "none")
+            and (
+                self.fused == "on"
+                or (self.fused == "auto" and jax.default_backend() == "tpu")
+            )
+            and self.has_variable("params", "dres0_1")  # init ran (train path)
+        )
+
         def ctx(stage: int, name: str):
             if self.context_fusion != "none" and stage in self.context_stages:
                 return ContextMapping(
@@ -117,16 +148,42 @@ class ECMAggregation(nn.Module):
                 )
             return None
 
-        # dres0: 2x 3D convBN-ReLU, 2C -> C
-        x = ConvBN(c, relu=True, dtype=dt, name="dres0_1")(volume, train)
-        x = ConvBN(c, relu=True, dtype=dt, name="dres0_2")(x, train)
-        cm0 = ctx(0, "context0")
-        if cm0 is not None:
-            x = cm0(ctx2d, x, train)
-        # dres1: residual (convBN-ReLU, convBN) + x
-        y = ConvBN(c, relu=True, dtype=dt, name="dres1_1")(x, train)
-        y = ConvBN(c, relu=False, dtype=dt, name="dres1_2")(y, train)
-        cost0 = y + x
+        if use_fused:
+            from ecm_tpu.ops.pallas_fused_agg import fused_conv3d_pair
+
+            ctx_map = None
+            if self.context_fusion == "add" and 0 in self.context_stages:
+                ctx_map = ContextMapping(
+                    channels3d=c,
+                    fusion="add",
+                    dtype=dt,
+                    return_map=True,
+                    name="context0",
+                )(ctx2d, None, train)
+            x = fused_conv3d_pair(
+                volume,
+                *self._fold_convbn("dres0_1"),
+                *self._fold_convbn("dres0_2"),
+                ctx=ctx_map,
+            )
+            cost0 = fused_conv3d_pair(
+                x,
+                *self._fold_convbn("dres1_1"),
+                *self._fold_convbn("dres1_2"),
+                relu2=False,
+                residual=True,
+            )
+        else:
+            # dres0: 2x 3D convBN-ReLU, 2C -> C
+            x = ConvBN(c, relu=True, dtype=dt, name="dres0_1")(volume, train)
+            x = ConvBN(c, relu=True, dtype=dt, name="dres0_2")(x, train)
+            cm0 = ctx(0, "context0")
+            if cm0 is not None:
+                x = cm0(ctx2d, x, train)
+            # dres1: residual (convBN-ReLU, convBN) + x
+            y = ConvBN(c, relu=True, dtype=dt, name="dres1_1")(x, train)
+            y = ConvBN(c, relu=False, dtype=dt, name="dres1_2")(y, train)
+            cost0 = y + x
 
         hg_cls = nn.remat(Hourglass) if self.remat else Hourglass
 
@@ -155,7 +212,20 @@ class ECMAggregation(nn.Module):
             last = i == len(outs) - 1
             if not (train or last):
                 continue  # eval: only the last head runs (reference semantics)
-            cost = ClassifHead(c, dtype=dt, name=f"classif{i + 1}")(out, train)
+            if use_fused:
+                from ecm_tpu.ops.pallas_fused_agg import fused_conv3d_pair
+
+                p2 = self.variables["params"][f"classif{i + 1}"]["conv2"]
+                cost = fused_conv3d_pair(
+                    out,
+                    *self._fold_convbn(f"classif{i + 1}/conv1"),
+                    p2["kernel"],
+                    jnp.ones((1,), jnp.float32),
+                    p2["bias"],
+                    relu2=False,
+                )
+            else:
+                cost = ClassifHead(c, dtype=dt, name=f"classif{i + 1}")(out, train)
             if train and prev_cost is not None:
                 cost = cost + prev_cost
             prev_cost = cost if train else None

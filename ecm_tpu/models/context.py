@@ -36,17 +36,39 @@ from ecm_tpu.models.layers import ConvBN, conv_init
 
 
 class ContextMapping(nn.Module):
-    """Maps 2D scene context into a 3D cost-aggregation volume."""
+    """Maps 2D scene context into a 3D cost-aggregation volume.
+
+    ``return_map=True`` (valid for ``fusion="add"`` only) returns the 2D
+    context map ``[B, H, W, C3]`` INSTEAD of applying it — the fused Pallas
+    aggregation kernel folds the broadcast add into its epilogue
+    (``ecm_tpu.ops.pallas_fused_agg``), so the caller needs the raw map.
+    Parameters are shared with the applying form (same name/scope).
+    """
 
     channels3d: int
     fusion: str = "add"  # "add" | "film" | "both" | "none"
     hidden: int = 128
+    return_map: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, ctx2d: jax.Array, volume: jax.Array, train: bool = False
+        self, ctx2d: jax.Array, volume: jax.Array | None, train: bool = False
     ) -> jax.Array:
+        if self.return_map:
+            assert self.fusion == "add", self.fusion
+            m = ConvBN(self.hidden, kernel_size=3, dtype=self.dtype, name="map_conv")(
+                ctx2d, train
+            )
+            return nn.Conv(
+                self.channels3d,
+                kernel_size=(1, 1),
+                use_bias=True,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="map_proj",
+            )(m)
         if self.fusion == "none":
             return volume
         c3 = self.channels3d

@@ -76,6 +76,9 @@ class ECMStereo(nn.Module):
     context_stages: tuple[int, ...] = (0, 1, 2, 3)
     num_hourglass: int = 3
     use_pallas: bool = False
+    # fused Pallas aggregation pairs (dres0+ctx / dres1 / classif) at eval:
+    # "auto" = on when the backend is TPU. See ECMAggregation.fused.
+    agg_fused: str = "auto"
     remat: bool = True
     # "fullres": reference-canonical — trilinear-upsample the cost volume to
     #   [B, D, H, W] then soft-argmin (SURVEY.md 3.4 M5/M6).
@@ -113,6 +116,7 @@ class ECMStereo(nn.Module):
             context_fusion=self.context_fusion,
             context_stages=self.context_stages,
             remat=self.remat,
+            fused=self.agg_fused,
             dtype=dt,
             name="aggregation",
         )(vol, fl, train)  # list of [B, D/4, H/4, W/4]

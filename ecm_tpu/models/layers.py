@@ -72,6 +72,44 @@ class Conv3DOpt(nn.Module):
         return out
 
 
+class Deconv3DOpt(nn.Module):
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) with a switchable lowering:
+    flax ``nn.ConvTranspose`` (dense conv over the 2x-dilated input — 7/8 of
+    MACs hit zeros) vs the subpixel phase decomposition
+    (``ecm_tpu.ops.conv3d.conv_transpose3d_phased``, 8x fewer MACs). Param
+    layout matches ``nn.ConvTranspose`` ([3, 3, 3, I, O] kernel named
+    "kernel"), so checkpoints are interchangeable across impls.
+
+    ``ECM_TPU_DECONV_IMPL``: "phased" (default) | "xla".
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        from ecm_tpu.ops.conv3d import conv_transpose3d_phased
+
+        kernel = self.param(
+            "kernel", conv_init, (3, 3, 3, x.shape[-1], self.features), jnp.float32
+        )
+        impl = os.environ.get("ECM_TPU_DECONV_IMPL", "phased")
+        if impl == "phased":
+            return conv_transpose3d_phased(
+                x.astype(self.dtype), kernel.astype(self.dtype)
+            )
+        return jax.lax.conv_transpose(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=(2, 2, 2),
+            padding=[(1, 2)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv (2D or 3D by input rank) + BatchNorm, optional ReLU.
 
@@ -150,21 +188,26 @@ class ConvTransposeBN(nn.Module):
         ndim = x.ndim - 2
         kernel = _to_tuple(self.kernel_size, ndim)
         strides = _to_tuple(self.strides, ndim)
-        # (k - 1 - p, k - 1 - p + op) with p = k // 2, op = s - 1.
-        padding = [
-            (k - 1 - k // 2, k - 1 - k // 2 + s - 1) for k, s in zip(kernel, strides)
-        ]
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=kernel,
-            strides=strides,
-            padding=padding,
-            use_bias=False,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="deconv",
-        )(x)
+        if ndim == 3 and kernel == (3, 3, 3) and strides == (2, 2, 2):
+            # hot path: switchable deconv lowering (see Deconv3DOpt)
+            x = Deconv3DOpt(self.features, dtype=self.dtype, name="deconv")(x)
+        else:
+            # (k - 1 - p, k - 1 - p + op) with p = k // 2, op = s - 1.
+            padding = [
+                (k - 1 - k // 2, k - 1 - k // 2 + s - 1)
+                for k, s in zip(kernel, strides)
+            ]
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=kernel,
+                strides=strides,
+                padding=padding,
+                use_bias=False,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="deconv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
