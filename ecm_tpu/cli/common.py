@@ -99,6 +99,24 @@ def make_mesh_from(cfg: ExperimentConfig):
     return make_mesh(data=data, disp=max(disp, 1))
 
 
+def eval_mesh(cfg: ExperimentConfig):
+    """Disparity-sharded eval mesh (BASELINE.json config 4, Middlebury
+    high-res): a ``(data=1, disp=mesh_disp)`` mesh — eval runs batch-1, so
+    the whole slice goes to the disparity axis; ``constrain_volume`` inside
+    the forward shards the cost volume over it and GSPMD inserts the conv
+    halos + two-pass soft-argmin reductions. Returns None when
+    ``mesh_disp <= 1`` (single-device eval skips mesh machinery)."""
+    disp = cfg.train.mesh_disp
+    if disp <= 1:
+        return None
+    n = len(jax.devices())
+    if n < disp:
+        raise ValueError(f"--mesh-disp {disp} needs {disp} devices, have {n}")
+    from ecm_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(data=1, disp=disp)
+
+
 def make_data_iter(cfg: ExperimentConfig):
     """Resolve the train-data iterator for cfg.data.dataset.
 

@@ -14,8 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ecm_tpu.cli.common import base_parser, resolve_config
+from ecm_tpu.cli.common import base_parser, eval_mesh, resolve_config
 from ecm_tpu.data.pipeline import make_eval_iterator
+from ecm_tpu.parallel.sharding import replicate, use_mesh
 from ecm_tpu.train import checkpoint as ckpt_lib
 from ecm_tpu.train.state import create_train_state
 from ecm_tpu.train.steps import make_eval_step
@@ -59,11 +60,20 @@ def main(argv: list[str] | None = None) -> None:
         print(f"loaded checkpoint step {step0}")
     eval_step = make_eval_step(model, cfg.model.max_disp)
 
+    # BASELINE config 4: --mesh-disp N (or the middlebury_disp_sharded
+    # preset) shards the cost volume's disparity axis across chips
+    mesh = eval_mesh(cfg)
+    if mesh is not None:
+        print(f"disp-sharded eval mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     all_m = []
-    for batch in make_eval_iterator(specs, load_sample, batch_size=1):
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "pads"}
-        _, m = eval_step(state, jb)
-        all_m.append({k: float(v) for k, v in m.items()})
+    with use_mesh(mesh):
+        for batch in make_eval_iterator(specs, load_sample, batch_size=1):
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "pads"}
+            if mesh is not None:
+                jb = jax.device_put(jb, replicate(mesh))
+            _, m = eval_step(state, jb)
+            all_m.append({k: float(v) for k, v in m.items()})
     agg = {k: float(np.mean([m[k] for m in all_m])) for k in all_m[0] if k != "valid_px"}
     agg["num_pairs"] = len(all_m)
     print(json.dumps(agg))

@@ -15,9 +15,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ecm_tpu.cli.common import base_parser, resolve_config
+from ecm_tpu.cli.common import base_parser, eval_mesh, resolve_config
 from ecm_tpu.data.kitti import list_kitti, load_sample, save_disp_png
 from ecm_tpu.data.preprocess import unpad
+from ecm_tpu.parallel.sharding import replicate, use_mesh
 from ecm_tpu.train import checkpoint as ckpt_lib
 from ecm_tpu.train.state import create_train_state
 from ecm_tpu.train.steps import make_infer_fn
@@ -44,18 +45,23 @@ def main(argv: list[str] | None = None) -> None:
     year = 2015 if args.datatype == "2015" else 2012
     specs, _ = list_kitti(cfg.data.datapath, year=year, split="testing")
     os.makedirs(args.outdir, exist_ok=True)
-    for spec in specs:
-        sample = load_sample(spec, crop=None)
-        t0 = time.perf_counter()
-        disp = infer(
-            jnp.asarray(sample["left"])[None], jnp.asarray(sample["right"])[None]
-        )
-        disp = jax.device_get(disp)[0]
-        dt = time.perf_counter() - t0
-        disp = unpad(disp, tuple(sample["pads"]))
-        out = os.path.join(args.outdir, os.path.basename(spec.left))
-        save_disp_png(out, disp)
-        print(f"{out}  {dt * 1e3:.1f} ms")
+    # BASELINE config 4: --mesh-disp N shards the volume's disparity axis
+    mesh = eval_mesh(cfg)
+    with use_mesh(mesh):
+        for spec in specs:
+            sample = load_sample(spec, crop=None)
+            t0 = time.perf_counter()
+            left = jnp.asarray(sample["left"])[None]
+            right = jnp.asarray(sample["right"])[None]
+            if mesh is not None:
+                left, right = jax.device_put((left, right), replicate(mesh))
+            disp = infer(left, right)
+            disp = jax.device_get(disp)[0]
+            dt = time.perf_counter() - t0
+            disp = unpad(disp, tuple(sample["pads"]))
+            out = os.path.join(args.outdir, os.path.basename(spec.left))
+            save_disp_png(out, disp)
+            print(f"{out}  {dt * 1e3:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -148,6 +148,53 @@ class TestDispSharding:
         )
 
 
+class TestConfig4EvalPath:
+    def test_cli_eval_mesh_disp_sharded_matches_unsharded(self):
+        """The config-4 CLI path (BASELINE.json:10): ``eval_mesh`` builds the
+        (data=1, disp=N) mesh from ``mesh_disp`` and a batch-1 padded
+        high-res pair evaluated under it matches the unsharded disparity —
+        the exact flow ``ecm_tpu.cli.evaluate``/``submission`` now run."""
+        import dataclasses
+
+        from ecm_tpu.cli.common import eval_mesh
+        from ecm_tpu.configs import CONFIGS
+
+        cfg = CONFIGS["middlebury_disp_sharded"]
+        assert cfg.train.mesh_disp == 4  # preset is the config-4 contract
+        # f32 for the parity assert: in bf16 the per-shard reduction-order
+        # noise (~1e-2 rel after 25 convs) flips the random-init soft-argmin
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, max_disp=MAXD, feature_channels=8, remat=False,
+                bf16=False,
+            ),
+        )
+        model = cfg.model.build()
+        # "high-res" relative to the other tests; batch 1 like the CLI
+        h, w = 48, 96
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (h, w, 3), batch_size=1
+        )
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in make_batch(0, 1, h=h, w=w, max_disp=12.0).items()
+        }
+        estep = make_eval_step(model, MAXD)
+        disp_ref, _ = estep(state, batch)
+
+        mesh = eval_mesh(cfg)
+        assert mesh is not None and mesh.shape == {"data": 1, "disp": 4}
+        with use_mesh(mesh):
+            disp_sh, _ = estep(
+                jax.device_put(state, replicate(mesh)),
+                jax.device_put(batch, replicate(mesh)),
+            )
+        np.testing.assert_allclose(
+            np.asarray(disp_ref), np.asarray(disp_sh), rtol=1e-3, atol=1e-3
+        )
+
+
 class TestMesh:
     def test_make_mesh_shapes(self):
         mesh = make_mesh(data=4, disp=2)
