@@ -110,6 +110,15 @@ def main() -> None:
             f"({flops / t_r / 1e12:5.1f} TF/s)  speedup {t_r / t_f:.2f}x"
         )
 
+    import subprocess
+
+    try:
+        results["git"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        results["git"] = "unknown"
     out_path = os.path.join(os.path.dirname(__file__), "FUSED_AGG.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -1,21 +1,36 @@
-"""Real-TPU validation of the Pallas kernels (tests/ run CPU interpret mode
-only — this script compiles the kernels with Mosaic on the actual chip and
-checks exact parity + microbenchmarks vs the jnp reference).
+"""Real-TPU validation gate for EVERY Pallas kernel (tests/ run CPU
+interpret mode only — this script compiles the kernels with Mosaic on the
+actual chip and checks parity + microbenchmarks vs the XLA references).
 
-    python benchmarks/run_tpu_checks.py
+    python benchmarks/run_tpu_checks.py     # from the repo root
+
+Writes benchmarks/TPU_CHECKS.json (git-sha stamped). Policy (round-2
+verdict): no Pallas kernel may become a TPU default unless this gate is
+green at HEAD and its artifact is committed. Production-shape fused-agg
+perf numbers live in benchmarks/fused_agg_bench.py -> FUSED_AGG.json.
 """
 
+import json
+import os
+import subprocess
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ecm_tpu.ops.cost_volume import (
-    cost_volume_concat_jnp,
-    cost_volume_correlation_jnp,
-)
-from ecm_tpu.ops.pallas_cost_volume import cost_volume_pallas
+
+def git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
 
 
 def timeit(fn, *args, iters=20):
@@ -32,8 +47,13 @@ def timeit(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    assert jax.default_backend() == "tpu", jax.default_backend()
+def check_cost_volume(results: dict) -> None:
+    from ecm_tpu.ops.cost_volume import (
+        cost_volume_concat_jnp,
+        cost_volume_correlation_jnp,
+    )
+    from ecm_tpu.ops.pallas_cost_volume import cost_volume_pallas
+
     rng = np.random.default_rng(0)
     # production-shaped: KITTI 384x1248 at 1/4 res, C=32, D/4=48
     B, H, W, C, D = 1, 96, 312, 32, 48
@@ -50,12 +70,20 @@ def main():
             np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
         )
         t_ref = timeit(lambda a, b: ref_fn(a, b, D).sum(), fl, fr)
-        t_pal = timeit(lambda a, b: cost_volume_pallas(a, b, D, mode=mode).sum(), fl, fr)
+        t_pal = timeit(
+            lambda a, b: cost_volume_pallas(a, b, D, mode=mode).sum(), fl, fr
+        )
         out_bytes = np.prod(ref.shape) * 4
         bw = out_bytes / t_pal / 1e9
+        results[f"cost_volume_{mode}"] = {
+            "match": True,
+            "jnp_ms": round(t_ref * 1e3, 3),
+            "pallas_ms": round(t_pal * 1e3, 3),
+            "pallas_write_gbps": round(bw, 1),
+        }
         print(
-            f"{mode}: MATCH. jnp {t_ref * 1e3:.2f} ms, pallas {t_pal * 1e3:.2f} ms "
-            f"({t_ref / t_pal:.2f}x), pallas write-bw {bw:.0f} GB/s"
+            f"cost_volume/{mode}: MATCH. jnp {t_ref * 1e3:.2f} ms, pallas "
+            f"{t_pal * 1e3:.2f} ms ({t_ref / t_pal:.2f}x), write-bw {bw:.0f} GB/s"
         )
 
     # gradient parity compiled
@@ -69,7 +97,90 @@ def main():
     gj = jax.jit(jax.grad(loss_j, argnums=(0, 1)))(fl, fr)
     for a, b in zip(gp, gj):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
-    print("concat backward: MATCH (compiled)")
+    results["cost_volume_backward"] = {"match": True}
+    print("cost_volume backward: MATCH (compiled)")
+
+
+def check_regression(results: dict) -> None:
+    """Fused upsample+soft-argmin vs trilinear+softargmin on a FIXED cost
+    volume (random-weight full-model comparisons are ill-conditioned)."""
+    from ecm_tpu.ops.pallas_regression import fused_upsample_softargmin
+    from ecm_tpu.ops.softargmin import disparity_regression
+    from ecm_tpu.ops.upsample import upsample_trilinear
+
+    rng = np.random.default_rng(1)
+    B, D4, H4, W4, MAXD = 1, 48, 96, 312, 192
+    cost4 = jnp.asarray(rng.normal(size=(B, D4, H4, W4)).astype(np.float32))
+
+    out = jax.jit(lambda c: fused_upsample_softargmin(c, MAXD))(cost4)
+
+    def ref_fn(c):
+        with jax.default_matmul_precision("highest"):
+            full = upsample_trilinear(c, (MAXD, 4 * H4, 4 * W4))
+            return disparity_regression(full, MAXD)
+
+    ref = jax.jit(ref_fn)(cost4)
+    err = float(jnp.abs(out - ref).max())
+    assert err < 0.05, err  # disparities in [0, 192); 0.05 px
+    t = timeit(lambda c: fused_upsample_softargmin(c, MAXD), cost4)
+    results["fused_regression"] = {
+        "max_abs_err_px": round(err, 4),
+        "pallas_ms": round(t * 1e3, 3),
+    }
+    print(f"fused_regression: MATCH (max {err:.4f} px), {t * 1e3:.2f} ms")
+
+
+def check_fused_agg(results: dict) -> None:
+    """Mosaic-compiles the fused aggregation kernel at the production channel
+    widths / W (what the alignment constraints care about); B/D/H reduced to
+    keep the gate fast — full-shape perf is fused_agg_bench.py."""
+    from ecm_tpu.ops.pallas_fused_agg import (
+        _fused_conv3d_pair_pallas,
+        fused_conv3d_pair_reference,
+    )
+
+    rng = np.random.default_rng(2)
+    B, D, H, W = 1, 16, 16, 312
+    dt = jnp.bfloat16
+    cases = [
+        ("dres0+ctx", 64, 32, 32, dict(use_ctx=True)),
+        ("dres1+res", 32, 32, 32, dict(relu2=False, residual=True)),
+        ("classif", 32, 32, 1, dict(relu2=False)),
+    ]
+    for label, cin, cm, cout, opts in cases:
+        opts = dict(opts)
+        x = jnp.asarray(rng.normal(size=(B, D, H, W, cin)).astype(np.float32)).astype(dt)
+        k1 = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cm)).astype(np.float32) * 0.1)
+        k2 = jnp.asarray(rng.normal(size=(3, 3, 3, cm, cout)).astype(np.float32) * 0.1)
+        s1 = jnp.asarray(rng.uniform(0.5, 1.5, cm).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(size=cm).astype(np.float32) * 0.1)
+        s2 = jnp.asarray(rng.uniform(0.5, 1.5, cout).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(size=cout).astype(np.float32) * 0.1)
+        ctx = None
+        if opts.pop("use_ctx", False):
+            ctx = jnp.asarray(
+                rng.normal(size=(B, H, W, cout)).astype(np.float32)
+            ).astype(dt)
+        out = _fused_conv3d_pair_pallas(x, k1, s1, b1, k2, s2, b2, ctx=ctx, **opts)
+        ref = fused_conv3d_pair_reference(x, k1, s1, b1, k2, s2, b2, ctx=ctx, **opts)
+        err = float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+        scale = float(jnp.abs(ref.astype(jnp.float32)).max())
+        rel = err / max(scale, 1e-9)
+        assert rel < 0.02, (label, err, scale)
+        results[f"fused_agg_{label}"] = {"rel_err": round(rel, 6), "compiles": True}
+        print(f"fused_agg/{label}: Mosaic COMPILES, parity rel={rel:.2e}")
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    results = {"git": git_sha(), "device": str(jax.devices()[0])}
+    check_cost_volume(results)
+    check_regression(results)
+    check_fused_agg(results)
+    out_path = os.path.join(os.path.dirname(__file__), "TPU_CHECKS.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("ALL KERNELS GREEN ->", out_path)
 
 
 if __name__ == "__main__":

@@ -110,7 +110,13 @@ class ECMAggregation(nn.Module):
     context_fusion: str = "add"  # see ContextMapping
     context_stages: tuple[int, ...] = (0, 1, 2, 3)  # 0 = after dres0
     remat: bool = True
-    fused: str = "auto"  # "auto" | "on" | "off"
+    # "auto" | "on" | "off". Default OFF by measurement: the kernel compiles
+    # and matches on-chip (benchmarks/TPU_CHECKS.json) but runs at ~0.9x of
+    # the XLA chain at the production shape (benchmarks/FUSED_AGG.json).
+    # Flipping to "auto" as default requires a committed FUSED_AGG.json
+    # showing it winning — see benchmarks/run_tpu_checks.py and the policy
+    # note in .claude/skills/verify/SKILL.md.
+    fused: str = "off"
     dtype: jnp.dtype = jnp.float32
 
     def _fold_convbn(self, name: str):

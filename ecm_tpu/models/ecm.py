@@ -77,8 +77,10 @@ class ECMStereo(nn.Module):
     num_hourglass: int = 3
     use_pallas: bool = False
     # fused Pallas aggregation pairs (dres0+ctx / dres1 / classif) at eval:
-    # "auto" = on when the backend is TPU. See ECMAggregation.fused.
-    agg_fused: str = "auto"
+    # "auto" = on when the backend is TPU. Default "off" BY MEASUREMENT —
+    # the kernel compiles+matches on-chip but is ~0.9x the XLA chain
+    # (benchmarks/FUSED_AGG.json). See ECMAggregation.fused.
+    agg_fused: str = "off"
     remat: bool = True
     # "fullres": reference-canonical — trilinear-upsample the cost volume to
     #   [B, D, H, W] then soft-argmin (SURVEY.md 3.4 M5/M6).

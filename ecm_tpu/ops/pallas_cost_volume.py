@@ -18,8 +18,18 @@ HBM). This kernel:
   with ``make_async_copy``; Mosaic rejects dynamic HBM slices whose minor dim
   (C=32) is not 128-lane aligned — the sublane-shift formulation avoids the
   constraint entirely and needs no scratch/semaphores.);
-- writes every output element exactly once. HBM traffic approaches the
-  write-bandwidth bound (output bytes + one read of fl/fr per row block).
+- writes every output element exactly once (output bytes + one read of
+  fl/fr per row block).
+
+MEASURED STATUS (benchmarks/TPU_CHECKS.json, the on-chip gate): the jnp
+reference compiles to XLA fused pad/stack that is *already at the same
+write-limited throughput* — concat: pallas ~1.3 ms vs jnp ~1.25 ms at the
+production shape (~280 GB/s of the 819 GB/s HBM spec, both paths alike);
+correlation: pallas edges out jnp by ~5%. The op is pure data movement, so
+there is no FLOP headroom for a hand kernel to win — ``use_pallas=False``
+is therefore the DEFAULT BY MEASUREMENT, and this kernel is retained as the
+tested native-kernel component (SURVEY.md 2.5 item 1) + the fallback if a
+future XLA regression un-fuses the jnp path.
 
 ``cost_volume_pallas`` carries a custom VJP (the op is linear):
 ``dfl[w] = sum_d g[d, w, :C] * (w >= d)``; ``dfr[w] = sum_d g[d, w + d, C:]``

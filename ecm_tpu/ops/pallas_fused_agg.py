@@ -11,18 +11,30 @@ intermediate volume in VMEM. It covers the aggregation's stride-1 pairs:
     dres1:   relu(bn(conv C->C))  |> bn(conv C->C) + x   [residual]
     classif: relu(bn(conv C->C))  |> conv C->1 + bias
 
-Why a hand kernel (measured on the v5e chip, benchmarks/AGG_MICROBENCH.json):
-XLA lowers these convs at 10-19 TF/s — 5-9 % of the chip's 197 TF/s bf16
-peak — because Cout in {1, 32} fills only a quarter (or 1/128th) of the
-MXU's 128 output lanes, and every conv round-trips its volume through HBM.
-This kernel fixes both:
+Why a hand kernel was attempted (benchmarks/AGG_MICROBENCH.json): XLA
+lowers these convs at 10-19 TF/s — 5-9 % of the chip's 197 TF/s bf16 peak —
+because Cout in {1, 32} fills only a quarter (or 1/128th) of the MXU's 128
+output lanes, and every conv round-trips its volume through HBM. The design:
 
 - **MXU lane packing**: each matmul computes ALL THREE dz kernel planes at
   once — B-matrix ``[Cin, 3*Cout (dz-packed)]`` — so N = 96 for C = 32
-  (75 % lane fill instead of 25 %). The dz chunks scatter into the
-  accumulator planes p-dz (static-unrolled VPU adds).
+  (75 % lane fill instead of 25 %). The dz chunks scatter into rotating
+  accumulator carries (see the pipelined plane loop in the kernel).
 - **fusion**: stage-1 output lives only in VMEM; scale/bias/ReLU/context/
   residual run on registers. HBM sees one read of x, one write of out.
+
+MEASURED STATUS (benchmarks/FUSED_AGG.json, real v5e, production shape
+B4 48x96x312 bf16): the kernel COMPILES and MATCHES (rel err ~5e-3) but
+runs at ~0.9x of the unfused XLA chain (71 vs 64 ms for dres0 at the best
+tile (16, 8)). The theoretical ceiling of this formulation is ~3.5x XLA
+(28 % average MXU fill), but every conv tap needs glue the VPU must execute
+— per-dx relayout copies of the misaligned sublane windows, per-dz lane
+sub-slices of the (rows, 96) dot outputs, carry adds, mask/scale/bias —
+and that glue traffic (~6 MB/plane-iteration) bounds the kernel ~4x above
+its MXU time. Conclusion: XLA's conv3d emitter already wins on this chip;
+``ECMAggregation.fused`` therefore defaults to "off" BY MEASUREMENT, and
+this kernel is retained as the tested, working native-kernel component
+(SURVEY.md 2.5 item 2) and the base for future Mosaic work.
 
 Mosaic-shaped layout (probed on the real chip; see git history): the natural
 ``(rows, cols, C)`` blocks with dx-im2col lane-concats are rejected ("offset
@@ -39,7 +51,10 @@ off the reshaped result).
 All accumulation is f32 (matmuls via ``preferred_element_type``); inputs and
 the inter-stage value are the model dtype (bf16 in production) — the same
 numerics as the unfused conv-BN-ReLU chain, asserted in
-tests/test_fused_agg.py and on-chip in benchmarks/fused_agg_bench.py.
+tests/test_fused_agg.py (interpret mode). On-chip Mosaic compilation +
+parity + perf are asserted by benchmarks/fused_agg_bench.py, whose committed
+output is benchmarks/FUSED_AGG.json — if that file is absent or stale, the
+kernel must NOT be a TPU default (round-2 verdict).
 
 Forward-only: the serving path (training keeps the autodiff-friendly XLA
 chain, selected automatically by ``ECMAggregation``).
@@ -48,6 +63,7 @@ chain, selected automatically by ``ECMAggregation``).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +73,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _use_kernel_off_tpu() -> bool:
+    """Off-TPU the kernel only runs in Pallas interpret mode (orders of
+    magnitude slower than XLA) — worth it only for parity tests, which set
+    ECM_PALLAS_INTERPRET=1 (tests/conftest.py). Production non-TPU callers
+    get the equivalent fused_conv3d_pair_reference instead."""
+    return os.environ.get("ECM_PALLAS_INTERPRET", "") == "1"
 
 
 def _pick_tile(n: int, target: int) -> int:
@@ -76,38 +100,28 @@ def _pack_kernel(k: jax.Array) -> jax.Array:
     return jnp.transpose(k, (1, 2, 3, 0, 4)).reshape(9, cin, 3 * cout)
 
 
-def _conv_stage_flat(
-    planes: list,  # list of P (S_in, C) arrays (flat rows, pitch w+4)
-    kp,  # packed kernel ref value [9, C, 3*Cout]
-    out_planes: int,
-    s_out: int,
-    pitch: int,
-):
-    """3x3x3 VALID conv in flat-row form: out[q][f] = sum_{dz,dy,dx}
-    planes[q+dz][f + dy*pitch + dx] * k[dz,dy,dx]. Returns list of
-    out_planes (s_out, Cout) f32 accumulators."""
-    cout3 = kp.shape[-1]
-    cout = cout3 // 3
-    acc: list = [None] * out_planes
-    for p, plane in enumerate(planes):
+def _taps9(base_load, kp, pitch: int, n_rows: int):
+    """One plane's 3x3 (dy, dx) tap sweep in flat-row form:
+    sum_{dy,dx} tap(dy*pitch + dx) @ kp[dy*3+dx] — (n_rows, 3*C) f32.
+
+    Taps are grouped by dx to amortize relayouts: ``base_load(dx)`` returns
+    the (n_rows + 2*pitch, Cin) window at sublane offset dx — the ONLY
+    misaligned (→ relayout-copy) slice, one per dx instead of one per tap —
+    and the three dy taps are then slices at dy*pitch, which is a multiple
+    of the 16-sublane tile (the caller rounds pitch to 16), i.e. free views.
+    (bf16 ``pltpu.roll`` is not an option: "rotate with non-32-bit data".)"""
+    acc = None
+    for dx in range(3):
+        base = base_load(dx)
         for dy in range(3):
-            for dx in range(3):
-                shift = dy * pitch + dx
-                # static misaligned sublane slices compile fine (Mosaic
-                # relayouts); rolls do NOT for bf16 ("rotate with non-32-bit
-                # data") — probed on-chip, see module docstring
-                a = plane[shift : shift + s_out, :]
-                y = jax.lax.dot_general(
-                    a,
-                    kp[dy * 3 + dx],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (s_out, 3*Cout)
-                for dz in range(3):
-                    q = p - dz
-                    if 0 <= q < out_planes:
-                        chunk = y[:, dz * cout : (dz + 1) * cout]
-                        acc[q] = chunk if acc[q] is None else acc[q] + chunk
+            a = base[dy * pitch : dy * pitch + n_rows, :]
+            y = jax.lax.dot_general(
+                a,
+                kp[dy * 3 + dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
     return acc
 
 
@@ -115,6 +129,7 @@ def _make_kernel(
     t_d: int,
     t_h: int,
     w: int,
+    pitch: int,
     cin: int,
     cm: int,
     cout: int,
@@ -124,7 +139,6 @@ def _make_kernel(
     residual: bool,
     out_dtype,
 ):
-    pitch = w + 4
     # +TAIL because conv taps are plain slices (no circular wrap): the
     # largest tap offset is 2*pitch+2, so each stage's planes carry a few
     # extra positions; tail values are garbage but feed only discarded
@@ -134,17 +148,28 @@ def _make_kernel(
     s_out = t_h * pitch
 
     def kernel(*refs):
+        refs = list(refs)
+        x_hbm, k1_ref, s1_ref, b1_ref, k2_ref, s2_ref, b2_ref = refs[:7]
+        pos = 7
+        ctx_ref = res_ref = None
         if has_ctx:
-            (x_hbm, k1_ref, s1_ref, b1_ref, k2_ref, s2_ref, b2_ref, ctx_ref,
-             out_ref, x_vmem, sem) = refs
-        else:
-            (x_hbm, k1_ref, s1_ref, b1_ref, k2_ref, s2_ref, b2_ref,
-             out_ref, x_vmem, sem) = refs
+            ctx_ref = refs[pos]
+            pos += 1
+        if residual:
+            res_ref = refs[pos]
+            pos += 1
+        out_ref, x_vmem, sem = refs[pos:]
         b = pl.program_id(0)
         di = pl.program_id(1)
         hi = pl.program_id(2)
         n_d = pl.num_programs(1)
         n_h = pl.num_programs(2)
+        # Mosaic constraint (round-2 postmortem): an HBM memref slice must be
+        # tile-aligned on its two minor dims — lanes (128) and sublanes (8,
+        # 16 for bf16's 2-deep packing). The caller pads C to a multiple of
+        # 128 and makes pitch a multiple of 16, so this DMA's minor dim is
+        # the full (128-mult) channel dim and the flat offset/size are
+        # 16-aligned (t_h*pitch, (t_h+4)*pitch + 16).
         copy = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(di * t_d, t_d + 4), pl.ds(hi * t_h * pitch, s_in)],
             x_vmem,
@@ -153,56 +178,96 @@ def _make_kernel(
         copy.start()
         copy.wait()
 
-        # ---- stage 1: T_d+2 flat planes of (s_mid, Cm) ----
-        x_planes = [x_vmem[p] for p in range(t_d + 4)]
-        acc1 = _conv_stage_flat(x_planes, k1_ref[...], t_d + 2, s_mid, pitch)
+        # ---- software-pipelined plane loop ----
+        # A fully-unrolled two-stage formulation (round 2) kept every plane,
+        # slice and accumulator live simultaneously: Mosaic's register
+        # allocator spilled 132 MB to VMEM and compilation OOM'd. Instead,
+        # sweep x planes p = 0..t_d+3 ONCE with rotating two-slot accumulator
+        # carries (a fori_loop, so the program is 18 matmuls, not ~200):
+        #   - each x plane's dz-packed tap matmul contributes chunk dz to y1
+        #     plane p-dz; slot A completes y1 plane j0 = p-2 this iteration,
+        #     slot B next iteration, chunk dz=0 starts the fresh plane;
+        #   - the completed y1 plane immediately feeds the stage-2 tap
+        #     matmuls, whose chunks rotate through a second carry pair and
+        #     complete out plane t = p-4, written straight to out_ref.
+        # Live set at any instant: 2+2 accumulator planes + 1 y1 plane + the
+        # current tap slice — a few MB instead of the whole tile's planes.
 
         # validity of y1 positions (flat index f = r*pitch + c):
         #   abs row = hi*t_h + r - 1 must be in [0, H)
         #   col c: 1 <= c <= w (c=0 / c=w+1 are the global zero pad;
-        #   c in {w+2, w+3} is row-crossing garbage, zeroed too)
+        #   c >= w+2 is row-crossing garbage, zeroed too)
         fidx = jax.lax.broadcasted_iota(jnp.int32, (s_mid, 1), 0)
         r_abs = fidx // pitch + hi * t_h - 1
         c_idx = fidx % pitch
-        row_ok = (r_abs >= 0) & (r_abs < n_h * t_h)
-        col_ok = (c_idx >= 1) & (c_idx <= w)
+        rc_ok = (
+            (r_abs >= 0) & (r_abs < n_h * t_h) & (c_idx >= 1) & (c_idx <= w)
+        )
         s1 = s1_ref[0][None, :]
         b1 = b1_ref[0][None, :]
-        y1_planes = []
-        for q in range(t_d + 2):
-            y = acc1[q] * s1 + b1
-            if relu1:
-                y = jnp.maximum(y, 0.0)
-            d_abs = di * t_d + q - 1
-            plane_ok = (d_abs >= 0) & (d_abs < n_d * t_d)
-            y = jnp.where(row_ok & col_ok & plane_ok, y, 0.0)
-            y1_planes.append(y.astype(x_vmem.dtype))
-
-        # ---- stage 2: T_d flat planes of (s_out, Cout) ----
-        acc2 = _conv_stage_flat(y1_planes, k2_ref[...], t_d, s_out, pitch)
         s2 = s2_ref[0][None, :]
         b2 = b2_ref[0][None, :]
-        for t in range(t_d):
-            y = acc2[t] * s2 + b2
+        k1v = k1_ref[...]  # [9, Cin, 3*Cm], dz-major chunks
+        k2v = k2_ref[...]  # [9, Cm, 3*Cout]
+        f32 = jnp.float32
+
+        ext1 = s_mid + 2 * pitch  # dx window covering dy in {0,1,2}
+        ext2 = s_out + 2 * pitch
+
+        def body(p, carry):
+            acc1a, acc1b, acc2a, acc2b = carry
+            y_x = _taps9(
+                lambda dx: x_vmem[p, pl.ds(dx, ext1), :],
+                k1v,
+                pitch,
+                s_mid,
+            )  # (s_mid, 3*Cm)
+            # y1 plane j0 = p - 2 completes (slot A + this plane's dz=2 chunk)
+            y1 = (acc1a + y_x[:, 2 * cm :]) * s1 + b1
+            if relu1:
+                y1 = jnp.maximum(y1, 0.0)
+            d_abs = di * t_d + (p - 2) - 1
+            ok = (p >= 2) & (d_abs >= 0) & (d_abs < n_d * t_d)
+            # zeroing invalid planes serves the D-halo semantics AND the
+            # pipeline warmup (j0 < 0 planes contribute only zeros downstream)
+            y1 = jnp.where(rc_ok & ok, y1, 0.0).astype(x_vmem.dtype)
+
+            y_y = _taps9(
+                lambda dx: y1[dx : dx + ext2, :], k2v, pitch, s_out
+            )  # (s_out, 3*Cout)
+            out_v = (acc2a + y_y[:, 2 * cout :]) * s2 + b2
             if relu2:
-                y = jnp.maximum(y, 0.0)
+                out_v = jnp.maximum(out_v, 0.0)
             if has_ctx:
-                y = y + ctx_ref[0].astype(jnp.float32)
-            if residual:
-                # x itself at out position (t, f): plane t+2, flat offset
-                # f + 2*pitch + 2 -> a static (misaligned-ok) slice
-                off = 2 * pitch + 2
-                res = x_vmem[t + 2, off : off + s_out, :cout]
-                y = y + res.astype(jnp.float32)
-            out_ref[0, t] = y.astype(out_dtype)
+                out_v = out_v + ctx_ref[0].astype(f32)
+
+            t = p - 4  # out plane completing this iteration
+
+            @pl.when(t >= 0)
+            def _write():
+                v = out_v
+                if residual:
+                    v = v + res_ref[0, t].astype(f32)
+                out_ref[0, t] = v.astype(out_dtype)
+
+            return (
+                acc1b + y_x[:, cm : 2 * cm],
+                y_x[:, :cm],
+                acc2b + y_y[:, cout : 2 * cout],
+                y_y[:, :cout],
+            )
+
+        zeros = (
+            jnp.zeros((s_mid, cm), f32),
+            jnp.zeros((s_mid, cm), f32),
+            jnp.zeros((s_out, cout), f32),
+            jnp.zeros((s_out, cout), f32),
+        )
+        jax.lax.fori_loop(0, t_d + 4, body, zeros, unroll=False)
 
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("relu1", "relu2", "residual", "tile_d", "tile_h"),
-)
 def fused_conv3d_pair(
     x: jax.Array,
     k1: jax.Array,
@@ -216,7 +281,7 @@ def fused_conv3d_pair(
     relu1: bool = True,
     relu2: bool = True,
     residual: bool = False,
-    tile_d: int = 8,
+    tile_d: int = 16,
     tile_h: int = 8,
 ) -> jax.Array:
     """Two fused 3x3x3 stride-1 convs with scale/bias(+ReLU) epilogues.
@@ -228,7 +293,45 @@ def fused_conv3d_pair(
     scale/bias: per-channel f32 (inference-folded BN, or ones/zeros);
     ctx: [B, H, W, Cout] or None; residual requires Cin >= Cout (adds
     x[..., :Cout]). Returns [B, D, H, W, Cout] in x.dtype.
-    """
+
+    Dispatch: the Pallas kernel on TPU; off-TPU the equivalent XLA chain
+    (fused_conv3d_pair_reference), unless ECM_PALLAS_INTERPRET=1 selects the
+    kernel under Pallas interpret mode (parity tests)."""
+    if jax.default_backend() != "tpu" and not _use_kernel_off_tpu():
+        return fused_conv3d_pair_reference(
+            x, k1, scale1, bias1, k2, scale2, bias2, ctx,
+            relu1=relu1, relu2=relu2, residual=residual,
+        )
+    return _fused_conv3d_pair_pallas(
+        x, k1, scale1, bias1, k2, scale2, bias2, ctx,
+        relu1=relu1, relu2=relu2, residual=residual,
+        tile_d=tile_d, tile_h=tile_h,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relu1", "relu2", "residual", "tile_d", "tile_h"),
+)
+def _fused_conv3d_pair_pallas(
+    x: jax.Array,
+    k1: jax.Array,
+    scale1: jax.Array,
+    bias1: jax.Array,
+    k2: jax.Array,
+    scale2: jax.Array,
+    bias2: jax.Array,
+    ctx: jax.Array | None = None,
+    *,
+    relu1: bool = True,
+    relu2: bool = True,
+    residual: bool = False,
+    tile_d: int = 16,
+    tile_h: int = 8,
+) -> jax.Array:
+    """Pallas implementation — see fused_conv3d_pair for the contract.
+    Default tiles (16, 8) measured fastest at the production shape
+    (on-chip sweep: (8,8) 81 ms, (16,8) 71 ms, (24,8) 74 ms, (48,4) 86 ms)."""
     b, d, h, w, cin = x.shape
     cm = k1.shape[-1]
     cout = k2.shape[-1]
@@ -238,27 +341,42 @@ def fused_conv3d_pair(
         assert cin >= cout, (cin, cout)
     t_d = _pick_tile(d, tile_d)
     t_h = _pick_tile(h, tile_h)
-    pitch = w + 4
+    # Mosaic HBM-slice alignment (round-2 postmortem): the halo DMA slices
+    # the flat (sublane) dim at offset t_h*pitch and the channel (lane) dim
+    # in full. pitch is rounded to a multiple of 16 (bf16 sublane tile) so
+    # every flat offset/size is tile-aligned, and C is zero-padded to a
+    # multiple of 128 (lane tile). The C padding costs HBM read bytes only —
+    # MXU time is unchanged (K <= 128 occupies the same systolic passes) and
+    # the zero rows of the packed kernel contribute nothing.
+    pitch = -(-(w + 4) // 16) * 16
+    cin_pad = -(-cin // 128) * 128
 
     def vmem_bytes(td: int, th: int) -> int:
         ib = x.dtype.itemsize
-        win = (td + 4) * (th + 4) * pitch * cin * ib  # halo window
-        y1b = (td + 2) * (th + 2) * pitch * cm * 4  # f32 stage-1 acc
+        win = (td + 4) * ((th + 4) * pitch + 16) * cin_pad * ib  # halo window
+        y1b = (td + 2) * ((th + 2) * pitch + 8) * cm * 4  # f32 stage-1 acc
         accb = td * th * pitch * cout * 4
         outb = 2 * td * th * pitch * cout * ib  # double-buffered out block
-        return win + y1b + accb + outb
+        resb = 2 * td * th * pitch * cout * ib if residual else 0
+        return win + y1b + accb + outb + resb
 
-    while t_h > 1 and vmem_bytes(t_d, t_h) > 10 * 2**20:
+    # v5e VMEM is 128 MiB; leave headroom for Pallas' own pipelining buffers
+    while t_h > 1 and vmem_bytes(t_d, t_h) > 40 * 2**20:
         t_h = _pick_tile(h, t_h - 1)
-    while t_d > 1 and vmem_bytes(t_d, t_h) > 10 * 2**20:
+    while t_d > 1 and vmem_bytes(t_d, t_h) > 40 * 2**20:
         t_d = _pick_tile(d, t_d - 1)
 
-    # zero-pad D/H by 2, W by 2+2, then flatten rows: [B, D+4, (H+4)*pitch+16, C]
+    # zero-pad D/H by 2, W to the row pitch (2 left, pitch-w-2 right), C to
+    # the lane tile, then flatten rows: [B, D+4, (H+4)*pitch+16, Cpad]
     # (the +16 flat tail backs the last tile's slice-based taps)
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (2, 2), (0, 0)))
-    xp = xp.reshape(b, d + 4, (h + 4) * pitch, cin)
+    xp = jnp.pad(
+        x, ((0, 0), (2, 2), (2, 2), (2, pitch - w - 2), (0, cin_pad - cin))
+    )
+    xp = xp.reshape(b, d + 4, (h + 4) * pitch, cin_pad)
     xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 16), (0, 0)))
-    k1p = _pack_kernel(k1.astype(x.dtype))
+    k1p = _pack_kernel(
+        jnp.pad(k1.astype(x.dtype), ((0, 0),) * 3 + ((0, cin_pad - cin), (0, 0)))
+    )
     k2p = _pack_kernel(k2.astype(x.dtype))
     f32 = jnp.float32
     vecs = [
@@ -285,7 +403,7 @@ def fused_conv3d_pair(
         assert ctx.shape == (b, h, w, cout), (ctx.shape, (b, h, w, cout))
         # out flat col c' maps to absolute col c' (taps read the padded row
         # at c'+dx), so ctx pads on the RIGHT only to match the row pitch
-        ctxp = jnp.pad(ctx, ((0, 0), (0, 0), (0, 4), (0, 0))).reshape(
+        ctxp = jnp.pad(ctx, ((0, 0), (0, 0), (0, pitch - w), (0, 0))).reshape(
             b, h * pitch, cout
         )
         in_specs.append(
@@ -296,9 +414,23 @@ def fused_conv3d_pair(
             )
         )
         args.append(ctxp.astype(x.dtype))
+    if residual:
+        # x[..., :cout] in the out layout, as its own blocked input (see
+        # kernel comment — lane-slicing the 128-padded window is illegal)
+        resp = jnp.pad(
+            x[..., :cout], ((0, 0), (0, 0), (0, 0), (0, pitch - w), (0, 0))
+        ).reshape(b, d, h * pitch, cout)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, t_d, t_h * pitch, cout),
+                lambda bi, di, hi: (bi, di, hi, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(resp)
 
     kernel = _make_kernel(
-        t_d, t_h, w, cin, cm, cout,
+        t_d, t_h, w, pitch, cin_pad, cm, cout,
         relu1, relu2, ctx is not None, residual, x.dtype,
     )
     out = pl.pallas_call(
@@ -312,9 +444,15 @@ def fused_conv3d_pair(
         ),
         out_shape=jax.ShapeDtypeStruct((b, d, h * pitch, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((t_d + 4, (t_h + 4) * pitch + 16, cin), x.dtype),
+            pltpu.VMEM((t_d + 4, (t_h + 4) * pitch + 16, cin_pad), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the pipelined loop's live set (carries + tap slices + dot outputs)
+        # exceeds Mosaic's 16 MB default scoped-vmem stack; the chip has
+        # 128 MB — grant the kernel most of it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
         interpret=_interpret(),
     )(*args)
     # un-flatten rows and drop the per-row pad/garbage columns. NOTE: the

@@ -7,6 +7,10 @@ in benchmarks/run_tpu_checks.py (the TPU chip is not assumed in CI).
 
 import os
 
+# Parity tests exercise the Pallas kernels in interpret mode off-TPU;
+# without this flag, production non-TPU callers get the XLA reference path.
+os.environ["ECM_PALLAS_INTERPRET"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
