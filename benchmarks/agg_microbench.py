@@ -127,6 +127,15 @@ def main() -> None:
             )
         )
 
+    import subprocess
+
+    try:
+        results["git"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        results["git"] = "unknown"
     out = os.path.join(os.path.dirname(__file__), "AGG_MICROBENCH.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)

@@ -181,7 +181,17 @@ def main() -> None:
         results["full_forward"]["tflops_per_s"] / PEAK_TFLOPS, 4
     )
 
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        sha = "unknown"
     meta = {
+        "git": sha,  # artifacts without a revision rot silently (r2 verdict)
         "config": f"{H}x{W} d{MAXD} b{B} bf16 eval",
         "peak_tflops": PEAK_TFLOPS,
         "hbm_gbps": HBM_GBPS,
