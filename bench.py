@@ -2,7 +2,16 @@
 stacked-hourglass model at the reference inference config (BASELINE.json
 config 1: 384x1248, max-disp 192 — the KITTI submission path, SURVEY.md 3.3).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Driver contract fields: {"metric", "value", "unit",
+"vs_baseline"}; self-reporting extras (round-2 verdict ask #2):
+
+- ``ms_per_pair``  — serving latency at the batch-4 throughput point
+- ``mfu``          — achieved useful-FLOPs / peak (peak from
+  ``ECM_TPU_PEAK_TFLOPS``, default 197 bf16-TF/s for the v5e; "useful" =
+  canonical model FLOPs, so layout tricks that inflate dense FLOPs — e.g.
+  the grouped aggregation layout — don't flatter this number)
+- ``batch1_ms``    — single-pair latency (BASELINE config 1 is a one-pair
+  inference config; serving batch amortization doesn't apply there)
 
 ``vs_baseline`` compares against 2.4 pairs/s — the canonical PSMNet-class
 reference throughput for this config (~0.41 s/pair on the 1080Ti-era GPUs the
@@ -13,6 +22,7 @@ recoverable — BASELINE.json "published": {}, SURVEY.md section 6).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -20,36 +30,17 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PAIRS_PER_S = 2.4
+PEAK_TFLOPS = float(os.environ.get("ECM_TPU_PEAK_TFLOPS", "197"))
 H, W, MAXD = 384, 1248, 192
 BATCH = 4  # serving batch: amortizes per-launch overhead, fills the MXU
 WARMUP, ITERS = 2, 4
 
 
-def main() -> None:
-    from ecm_tpu.models import build_model
-
-    model = build_model(
-        "stackhourglass",
-        max_disp=MAXD,
-        dtype=jnp.bfloat16,
-        regress_mode="fused",  # Pallas-fused upsample+soft-argmin (exact match)
-    )
-    rng = np.random.default_rng(0)
-    # measure with a lax.scan of ITERS distinct forwards inside ONE jitted
-    # call, fetched as a single scalar: immune to per-dispatch RPC overhead
-    # and to runtime-level dedup of identical dispatches (both observed on
-    # this machine's relay-attached TPU)
-    lefts = jnp.asarray(
-        rng.normal(size=(ITERS, BATCH, H, W, 3)).astype(np.float32)
-    )
-    right = jnp.asarray(rng.normal(size=(BATCH, H, W, 3)).astype(np.float32))
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, lefts[0], right, train=True
-    )
-    variables = {
-        "params": variables["params"],
-        "batch_stats": variables.get("batch_stats", {}),
-    }
+def _timed_forward(model, variables, lefts, right) -> float:
+    """Seconds per scan-step (one batch forward), on-device timing: ITERS
+    distinct forwards inside ONE jitted call fetched as a single scalar —
+    immune to per-dispatch RPC overhead and runtime-level dedup of identical
+    dispatches (both observed on this machine's relay-attached TPU)."""
 
     @jax.jit
     def forward_many(variables, lefts, right):
@@ -64,8 +55,45 @@ def main() -> None:
         float(forward_many(variables, lefts, right))
     t0 = time.perf_counter()
     float(forward_many(variables, lefts, right))
-    dt = time.perf_counter() - t0
-    pairs_per_s = ITERS * BATCH / dt
+    return (time.perf_counter() - t0) / lefts.shape[0]
+
+
+def main() -> None:
+    from ecm_tpu.models import build_model
+    from ecm_tpu.utils.profiling import flops_stereo_parts
+
+    model = build_model(
+        "stackhourglass",
+        max_disp=MAXD,
+        dtype=jnp.bfloat16,
+        regress_mode="fused",  # Pallas-fused upsample+soft-argmin (exact match)
+    )
+    rng = np.random.default_rng(0)
+    lefts = jnp.asarray(
+        rng.normal(size=(ITERS, BATCH, H, W, 3)).astype(np.float32)
+    )
+    right = jnp.asarray(rng.normal(size=(BATCH, H, W, 3)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, lefts[0], right, train=True
+    )
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+    t_batch = _timed_forward(model, variables, lefts, right)
+    pairs_per_s = BATCH / t_batch
+    ms_per_pair = 1e3 * t_batch / BATCH
+
+    # single-pair latency (config 1 proper)
+    t1 = _timed_forward(model, variables, lefts[:, :1], right[:1])
+    batch1_ms = 1e3 * t1
+
+    flops_pair = sum(
+        flops_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fused").values()
+    )
+    mfu = flops_pair * pairs_per_s / (PEAK_TFLOPS * 1e12)
+
     print(
         json.dumps(
             {
@@ -73,6 +101,9 @@ def main() -> None:
                 "value": round(pairs_per_s, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 4),
+                "ms_per_pair": round(ms_per_pair, 2),
+                "batch1_ms": round(batch1_ms, 2),
+                "mfu": round(mfu, 4),
             }
         )
     )

@@ -43,10 +43,14 @@ class Hourglass(nn.Module):
     ``train`` is a module attribute (not a call arg) so ``nn.remat`` needs no
     static_argnums; in ``nn.compact`` parents the module is rebuilt per call,
     so this costs nothing.
+
+    ``layout="grouped"`` runs on a disparity-folded volume (see
+    ``ecm_tpu.ops.grouped3d``) with identical parameters and math.
     """
 
     channels: int  # C (input/output width); internal width is 2C
     train: bool = False
+    layout: str = "standard"  # "standard" | "grouped"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,28 +63,46 @@ class Hourglass(nn.Module):
         c = self.channels
         dt = self.dtype
         train = self.train
-        out = ConvBN(2 * c, strides=2, relu=True, dtype=dt, name="conv1")(x, train)
-        pre = ConvBN(2 * c, strides=1, relu=False, dtype=dt, name="conv2")(out, train)
+        if self.layout == "grouped":
+            from ecm_tpu.models.grouped_layers import GConvBN, GDeconvBN
+
+            conv_cls, deconv_cls = GConvBN, GDeconvBN
+        else:
+            conv_cls, deconv_cls = ConvBN, ConvTransposeBN
+        out = conv_cls(2 * c, strides=2, relu=True, dtype=dt, name="conv1")(x, train)
+        pre = conv_cls(2 * c, strides=1, relu=False, dtype=dt, name="conv2")(out, train)
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
         else:
             pre = nn.relu(pre)
-        out = ConvBN(2 * c, strides=2, relu=True, dtype=dt, name="conv3")(pre, train)
-        out = ConvBN(2 * c, strides=1, relu=True, dtype=dt, name="conv4")(out, train)
-        post = ConvTransposeBN(2 * c, relu=False, dtype=dt, name="conv5")(out, train)
+        out = conv_cls(2 * c, strides=2, relu=True, dtype=dt, name="conv3")(pre, train)
+        out = conv_cls(2 * c, strides=1, relu=True, dtype=dt, name="conv4")(out, train)
+        post = deconv_cls(2 * c, relu=False, dtype=dt, name="conv5")(out, train)
         post = nn.relu(post + (presqu if presqu is not None else pre))
-        out = ConvTransposeBN(c, relu=False, dtype=dt, name="conv6")(post, train)
+        out = deconv_cls(c, relu=False, dtype=dt, name="conv6")(post, train)
         return out, pre, post
 
 
 class ClassifHead(nn.Module):
-    """Per-stage head: 3D convBN-ReLU C->C, then 3D conv C->1 (bias, no BN)."""
+    """Per-stage head: 3D convBN-ReLU C->C, then 3D conv C->1 (bias, no BN).
+
+    Standard layout returns ``[B, D, H, W, 1]``; grouped layout returns the
+    grouped single-channel cost ``[B, D/4, H, W, 4]`` (un-group with
+    ``ecm_tpu.ops.grouped3d.ungroup_cost``)."""
 
     channels: int = 32
+    layout: str = "standard"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.layout == "grouped":
+            from ecm_tpu.models.grouped_layers import GConv3D, GConvBN
+
+            x = GConvBN(self.channels, relu=True, dtype=self.dtype, name="conv1")(
+                x, train
+            )
+            return GConv3D(1, use_bias=True, dtype=self.dtype, name="conv2")(x)
         from ecm_tpu.models.layers import Conv3DOpt
 
         x = ConvBN(self.channels, relu=True, dtype=self.dtype, name="conv1")(x, train)
@@ -109,6 +131,11 @@ class ECMAggregation(nn.Module):
     num_hourglass: int = 3
     context_fusion: str = "add"  # see ContextMapping
     context_stages: tuple[int, ...] = (0, 1, 2, 3)  # 0 = after dres0
+    # "standard": NDHWC volume [B, D, H, W, C]. "grouped": disparity-folded
+    # [B, D/4, H, W, 4C] (ecm_tpu.ops.grouped3d) — the measured-fastest TPU
+    # layout (benchmarks/CONV3D_PROBE*.json); the input volume must already
+    # be grouped (cost_volume(..., grouped=True)). Same parameters either way.
+    layout: str = "standard"
     remat: bool = True
     # "auto" | "on" | "off". Default OFF by measurement: the kernel compiles
     # and matches on-chip (benchmarks/TPU_CHECKS.json) but runs at ~0.9x of
@@ -136,9 +163,11 @@ class ECMAggregation(nn.Module):
     ) -> list[jax.Array]:
         c = self.channels
         dt = self.dtype
+        grouped = self.layout == "grouped"
 
         use_fused = (
             not train
+            and not grouped  # the fused kernel reads the NDHWC layout
             and self.context_fusion in ("add", "none")
             and (
                 self.fused == "on"
@@ -150,7 +179,11 @@ class ECMAggregation(nn.Module):
         def ctx(stage: int, name: str):
             if self.context_fusion != "none" and stage in self.context_stages:
                 return ContextMapping(
-                    channels3d=c, fusion=self.context_fusion, dtype=dt, name=name
+                    channels3d=c,
+                    fusion=self.context_fusion,
+                    grouped=grouped,
+                    dtype=dt,
+                    name=name,
                 )
             return None
 
@@ -180,15 +213,19 @@ class ECMAggregation(nn.Module):
                 residual=True,
             )
         else:
+            if grouped:
+                from ecm_tpu.models.grouped_layers import GConvBN as _CBN
+            else:
+                _CBN = ConvBN
             # dres0: 2x 3D convBN-ReLU, 2C -> C
-            x = ConvBN(c, relu=True, dtype=dt, name="dres0_1")(volume, train)
-            x = ConvBN(c, relu=True, dtype=dt, name="dres0_2")(x, train)
+            x = _CBN(c, relu=True, dtype=dt, name="dres0_1")(volume, train)
+            x = _CBN(c, relu=True, dtype=dt, name="dres0_2")(x, train)
             cm0 = ctx(0, "context0")
             if cm0 is not None:
                 x = cm0(ctx2d, x, train)
             # dres1: residual (convBN-ReLU, convBN) + x
-            y = ConvBN(c, relu=True, dtype=dt, name="dres1_1")(x, train)
-            y = ConvBN(c, relu=False, dtype=dt, name="dres1_2")(y, train)
+            y = _CBN(c, relu=True, dtype=dt, name="dres1_1")(x, train)
+            y = _CBN(c, relu=False, dtype=dt, name="dres1_2")(y, train)
             cost0 = y + x
 
         hg_cls = nn.remat(Hourglass) if self.remat else Hourglass
@@ -203,7 +240,7 @@ class ECMAggregation(nn.Module):
             presqu = pre1 if i > 0 else None
             postsqu = post_prev if i > 0 else None
             out, pre, post = hg_cls(
-                c, train=train, dtype=dt, name=f"hourglass{i + 1}"
+                c, train=train, layout=self.layout, dtype=dt, name=f"hourglass{i + 1}"
             )(inp, presqu, postsqu)
             if i == 0:
                 pre1 = pre
@@ -231,9 +268,16 @@ class ECMAggregation(nn.Module):
                     relu2=False,
                 )
             else:
-                cost = ClassifHead(c, dtype=dt, name=f"classif{i + 1}")(out, train)
+                cost = ClassifHead(
+                    c, layout=self.layout, dtype=dt, name=f"classif{i + 1}"
+                )(out, train)
             if train and prev_cost is not None:
                 cost = cost + prev_cost
             prev_cost = cost if train else None
-            costs.append(jnp.squeeze(cost, axis=-1))  # [B, D, H/4, W/4]
+            if grouped:
+                from ecm_tpu.ops.grouped3d import ungroup_cost
+
+                costs.append(ungroup_cost(cost))  # [B, D, H/4, W/4]
+            else:
+                costs.append(jnp.squeeze(cost, axis=-1))  # [B, D, H/4, W/4]
         return costs

@@ -49,6 +49,10 @@ class ContextMapping(nn.Module):
     fusion: str = "add"  # "add" | "film" | "both" | "none"
     hidden: int = 128
     return_map: bool = False
+    # volume arrives disparity-folded [B, D/4, H, W, 4*channels3d]
+    # (ecm_tpu.ops.grouped3d): the per-channel map/FiLM vectors tile x4 along
+    # the grouped channel dim — same math, same parameters.
+    grouped: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +76,10 @@ class ContextMapping(nn.Module):
         if self.fusion == "none":
             return volume
         c3 = self.channels3d
-        assert volume.shape[-1] == c3, (volume.shape, c3)
+        gmul = 1
+        if self.grouped:
+            from ecm_tpu.ops.grouped3d import G as gmul
+        assert volume.shape[-1] == gmul * c3, (volume.shape, c3, gmul)
         out = volume
         if self.fusion in ("add", "both"):
             m = ConvBN(self.hidden, kernel_size=3, dtype=self.dtype, name="map_conv")(
@@ -87,7 +94,9 @@ class ContextMapping(nn.Module):
                 param_dtype=jnp.float32,
                 name="map_proj",
             )(m)
-            # [B, H, W, C3] -> broadcast over D: [B, 1, H, W, C3]
+            if self.grouped:
+                m = jnp.tile(m, (1, 1, 1, gmul))  # [B, H, W, G*C3]
+            # [B, H, W, (G*)C3] -> broadcast over D(-groups): [B, 1, H, W, .]
             out = out + m[:, None].astype(out.dtype)
         if self.fusion in ("film", "both"):
             g = jnp.mean(ctx2d.astype(jnp.float32), axis=(1, 2))  # [B, C2]
@@ -99,6 +108,9 @@ class ContextMapping(nn.Module):
                 2 * c3, dtype=self.dtype, param_dtype=jnp.float32, name="film_out"
             )(g)
             scale, shift = jnp.split(ss, 2, axis=-1)  # [B, C3] each
+            if self.grouped:
+                scale = jnp.tile(scale, (1, gmul))
+                shift = jnp.tile(shift, (1, gmul))
             scale = (1.0 + jnp.tanh(scale))[:, None, None, None, :]
             shift = shift[:, None, None, None, :]
             out = out * scale.astype(out.dtype) + shift.astype(out.dtype)

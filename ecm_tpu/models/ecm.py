@@ -81,6 +81,12 @@ class ECMStereo(nn.Module):
     # the kernel compiles+matches on-chip but is ~0.9x the XLA chain
     # (benchmarks/FUSED_AGG.json). See ECMAggregation.fused.
     agg_fused: str = "off"
+    # aggregation-volume layout: "standard" (NDHWC), "grouped" (disparity-
+    # folded [B, D/16, H/4, W/4, 4*2C] — ecm_tpu.ops.grouped3d; the measured-
+    # fastest TPU path, ~2x on the dominant convs), or "auto" = grouped on
+    # TPU backends when max_disp permits (D/4 % 16 == 0). Parameters are
+    # identical across layouts; checkpoints are interchangeable.
+    agg_layout: str = "auto"
     remat: bool = True
     # "fullres": reference-canonical — trilinear-upsample the cost volume to
     #   [B, D, H, W] then soft-argmin (SURVEY.md 3.4 M5/M6).
@@ -107,9 +113,28 @@ class ECMStereo(nn.Module):
         fl = feat(left, train)  # [B, H/4, W/4, C] — shared weights (siamese)
         fr = feat(right, train)
 
+        layout = self.agg_layout
+        if layout == "auto":
+            # grouped needs D/4 divisible by 16 (G=4 folding survives the two
+            # stride-2 hourglass encoder levels); it wins on TPU, loses on CPU
+            layout = (
+                "grouped"
+                if jax.default_backend() == "tpu" and d4 % 16 == 0
+                else "standard"
+            )
+        if layout == "grouped":
+            assert d4 % 16 == 0, (
+                f"agg_layout='grouped' needs max_disp/4 % 16 == 0, got {d4}"
+            )
+
         vol = cost_volume(
-            fl, fr, d4, mode=self.cost_mode, use_pallas=self.use_pallas
-        )  # [B, D/4, H/4, W/4, 2C or 1]
+            fl,
+            fr,
+            d4,
+            mode=self.cost_mode,
+            use_pallas=self.use_pallas,
+            grouped=layout == "grouped",
+        )  # [B, D/4(/G), H/4, W/4, (G*)2C or (G*)1]
         vol = constrain_volume(vol)  # disparity-axis sharding hint (no-op w/o mesh)
 
         costs4 = ECMAggregation(
@@ -117,6 +142,7 @@ class ECMStereo(nn.Module):
             num_hourglass=self.num_hourglass,
             context_fusion=self.context_fusion,
             context_stages=self.context_stages,
+            layout=layout,
             remat=self.remat,
             fused=self.agg_fused,
             dtype=dt,

@@ -1,0 +1,159 @@
+"""Grouped-layout (disparity-folded) counterparts of the 3D conv/BN building
+blocks in :mod:`ecm_tpu.models.layers` — same parameter trees, same math,
+TPU-friendly ``[B, D/4, H, W, 4*C]`` activations (see
+:mod:`ecm_tpu.ops.grouped3d` for the why and the measured wins).
+
+Parameter-tree compatibility is a hard contract here: ``GConvBN`` scopes its
+kernel at ``<name>/conv/kernel`` and BN at ``<name>/bn/{scale,bias}`` +
+batch_stats ``<name>/bn/{mean,var}`` with CANONICAL shapes ([3,3,3,Cin,Cout]
+kernels, per-channel [C] BN vectors) — identical to ``ConvBN``/
+``ConvTransposeBN`` — so a checkpoint trained in either layout loads in the
+other, and the torch importer (ecm_tpu/checkpoint_import.py) needs no
+layout awareness. The grouped banded kernel is expanded from the canonical
+parameter at apply time (a [3,g,g,3] one-hot einsum — negligible next to the
+conv itself).
+
+BatchNorm semantics note: in grouped layout each canonical channel c appears
+as g plane-slot copies. ``BatchNormG`` reduces over (B, D/g, H, W) per
+(slot, c) and then averages the g slots, which equals the canonical
+per-channel batch statistics exactly (equal counts per slot); running-stat
+updates therefore match flax ``nn.BatchNorm`` on the ungrouped tensor
+(asserted in tests/test_grouped3d.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ecm_tpu.models.layers import conv_init
+from ecm_tpu.ops.grouped3d import (
+    G,
+    conv_transpose3d_phased_grouped,
+    from_grouped,
+    grouped_conv3d,
+    tile_channels,
+)
+
+
+class BatchNormG(nn.Module):
+    """flax ``nn.BatchNorm``-equivalent on a grouped volume (module doc)."""
+
+    groups: int = G
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xg: jax.Array, use_running_average: bool) -> jax.Array:
+        g = self.groups
+        gc = xg.shape[-1]
+        assert gc % g == 0, (gc, g)
+        c = gc // g
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = xg.astype(jnp.float32)
+            m_gc = jnp.mean(xf, axis=(0, 1, 2, 3)).reshape(g, c)
+            sq_gc = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3)).reshape(g, c)
+            mean = m_gc.mean(axis=0)
+            var = sq_gc.mean(axis=0) - jnp.square(mean)  # biased, as flax
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        mt = tile_channels(mean, g)
+        st = tile_channels(scale * jax.lax.rsqrt(var + self.epsilon), g)
+        bt = tile_channels(bias, g)
+        y = (xg.astype(jnp.float32) - mt) * st + bt
+        return y.astype(self.dtype)
+
+
+class GConv3D(nn.Module):
+    """Grouped 3x3x3 conv; param-compatible with ``Conv3DOpt`` ("kernel"
+    [3,3,3,Cin,Cout], optional "bias" [Cout])."""
+
+    features: int
+    strides: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xg: jax.Array) -> jax.Array:
+        cin = xg.shape[-1] // G
+        kernel = self.param(
+            "kernel", conv_init, (3, 3, 3, cin, self.features), jnp.float32
+        )
+        out = grouped_conv3d(
+            xg.astype(self.dtype), kernel.astype(self.dtype), self.strides
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            out = out + tile_channels(bias, G).astype(out.dtype)
+        return out
+
+
+class GConvBN(nn.Module):
+    """Grouped ``ConvBN`` (3D hot path only: k=3, pad=1, stride 1|2)."""
+
+    features: int
+    strides: int = 1
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
+        xg = GConv3D(
+            self.features, strides=self.strides, dtype=self.dtype, name="conv"
+        )(xg)
+        xg = BatchNormG(dtype=self.dtype, name="bn")(xg, use_running_average=not train)
+        if self.relu:
+            xg = nn.relu(xg)
+        return xg
+
+
+class GDeconv3D(nn.Module):
+    """Grouped ``Deconv3DOpt``: un-groups the (cheap, low-res) input, runs the
+    subpixel-phased transposed conv, and emits the (full-res) output directly
+    in grouped layout. Param-compatible ("kernel" [3,3,3,Cin,Cout])."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xg: jax.Array) -> jax.Array:
+        cin = xg.shape[-1] // G
+        kernel = self.param(
+            "kernel", conv_init, (3, 3, 3, cin, self.features), jnp.float32
+        )
+        x = from_grouped(xg)  # [B, D, H, W, Cin] — 1/8-res or smaller: cheap
+        return conv_transpose3d_phased_grouped(
+            x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+
+
+class GDeconvBN(nn.Module):
+    """Grouped ``ConvTransposeBN`` (k=3, s=2, p=1, op=1 — exact doubling)."""
+
+    features: int
+    relu: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
+        xg = GDeconv3D(self.features, dtype=self.dtype, name="deconv")(xg)
+        xg = BatchNormG(dtype=self.dtype, name="bn")(xg, use_running_average=not train)
+        if self.relu:
+            xg = nn.relu(xg)
+        return xg

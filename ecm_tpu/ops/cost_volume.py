@@ -81,13 +81,51 @@ def cost_volume_correlation_jnp(
     return jnp.stack(slices, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "mode", "use_pallas"))
+def cost_volume_grouped_jnp(
+    fl: jax.Array, fr: jax.Array, max_disp: int, mode: str = "concat"
+) -> jax.Array:
+    """Cost volume emitted directly in the disparity-folded (grouped) layout
+    (``ecm_tpu.ops.grouped3d``): ``[B, D/G, H, W, G*2C]`` (concat) or
+    ``[B, D/G, H, W, G]`` (correlation), plane ``d = G*dg + p`` in channel
+    block ``p``.
+
+    Equals ``to_grouped(cost_volume_*_jnp(...))`` element-for-element (tested)
+    at the same HBM traffic as the standard builder — building grouped
+    directly avoids the 4 ms full-volume relayout the aggregation stack would
+    otherwise pay (benchmarks/CONV3D_PROBE.json "relayout_to_g4").
+    """
+    from ecm_tpu.ops.grouped3d import G
+
+    _, _, w, _ = fl.shape
+    assert max_disp % G == 0, (max_disp, G)
+    slices = []
+    for dg in range(max_disp // G):
+        blocks = []
+        for p in range(G):
+            d = G * dg + p
+            mask = _column_mask(w, d, fl.dtype)
+            if mode == "concat":
+                blocks.append(fl * mask)
+                blocks.append(_shifted_right(fr, d))
+            else:
+                blocks.append(
+                    jnp.mean(fl * _shifted_right(fr, d), axis=-1, keepdims=True)
+                    * mask
+                )
+        slices.append(jnp.concatenate(blocks, axis=-1))
+    return jnp.stack(slices, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "mode", "use_pallas", "grouped")
+)
 def cost_volume(
     fl: jax.Array,
     fr: jax.Array,
     max_disp: int,
     mode: str = "concat",
     use_pallas: bool = False,
+    grouped: bool = False,
 ) -> jax.Array:
     """Build the 4D cost volume; dispatches jnp reference vs. Pallas kernel.
 
@@ -96,7 +134,12 @@ def cost_volume(
       max_disp: number of disparity hypotheses at feature resolution (D/4).
       mode: ``"concat"`` (PSMNet canon) or ``"correlation"`` (dot-product).
       use_pallas: route through the Pallas kernel (TPU) instead of pure jnp.
+      grouped: emit the disparity-folded layout (``cost_volume_grouped_jnp``;
+        takes precedence over ``use_pallas`` — the grouped aggregation path
+        measures faster than any standard-layout path).
     """
+    if grouped:
+        return cost_volume_grouped_jnp(fl, fr, max_disp, mode=mode)
     if use_pallas:
         from ecm_tpu.ops.pallas_cost_volume import cost_volume_pallas
 

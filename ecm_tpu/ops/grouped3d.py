@@ -1,0 +1,211 @@
+"""D-grouped ("disparity-folded") 3D convolution ops — the TPU-native layout
+for the cost-aggregation stack (reference M4/M5, SURVEY.md 2.1; canonical
+``models/stackhourglass.py`` 3D convs).
+
+Why this exists: the model's 3D convs carry 32-64 channels, so in plain
+NDHWC the MXU sees 32/128 output lanes and XLA's conv3d achieves ~6-11% of
+peak (benchmarks/AGG_MICROBENCH.json: the dominant full-res 32->32 convs run
+at 12 TF/s of a 197 TF/s chip). Folding G=4 consecutive disparity planes
+into the channel dim — volume ``[B, D, H, W, C]`` -> ``[B, D/G, H, W, G*C]``
+— presents 128 input/output lanes. A 3x3x3 conv becomes a 3x3x3 conv over
+*plane groups* with a block-banded kernel (each output plane reads only its
+3 neighbouring input planes, so 1/G of the fat kernel is nonzero and dense
+FLOPs inflate xG), a trade measured decisively worth it on the v5e
+(benchmarks/CONV3D_PROBE.json / CONV3D_PROBE2.json, git 099e664):
+
+    dres_c  32->32 full-res:  26.9 ms (NDHWC xla)  -> 13.5 ms grouped
+    dres0   64->32 full-res:  45.1 ms              -> 24.0 ms
+    hg_conv1 32->64 stride-2: 14.0 ms              ->  8.4 ms
+    hg_conv3 64->64 stride-2:  5.5 ms              ->  4.6 ms
+
+The whole aggregation stack runs natively in this layout (relayout costs
+4-7 ms per full-res tensor — benchmarks/CONV3D_PROBE.json "relayout_*" — so
+per-layer conversion would eat the win): the cost volume is EMITTED grouped
+(ecm_tpu.ops.cost_volume.cost_volume_grouped), every conv/BN/residual/
+context-add operates grouped, and only the tiny per-stage classification
+outputs (C=1) are un-grouped for the regression tail.
+
+Transposed convs (the hourglass decoder) stay on the subpixel-phased path
+(``ecm_tpu.ops.conv3d.conv_transpose3d_phased`` — already MXU-efficient via
+its 8-phases-packed-along-Cout kernel): their *inputs* are un-grouped (cheap
+at 1/8-res and 1/64-res), and ``conv_transpose3d_phased_grouped`` re-targets
+only the final interleave transpose so the full-res output lands directly in
+grouped layout (the D-phase bit and the input-plane parity bit become the
+two low bits of the plane-within-group index) — same transpose class XLA
+already handles well in the ungrouped impl, zero extra relayout.
+
+G is fixed at 4 (4*32 = 128 = one lane tile; the deconv's grouped interleave
+is inherently 2x2). Requires D % (4*G) == 0 at the stack top (the hourglass
+encoder strides D by 2 twice and every level must stay group-divisible) —
+true for every supported config (max_disp 192/256/384 -> D/4 = 48/64/96).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+G = 4  # fixed grouping factor: G * C(32) = 128 = TPU lane width
+
+
+def to_grouped(x: jax.Array, g: int = G) -> jax.Array:
+    """[B, D, H, W, C] -> [B, D/g, H, W, g*C]; plane d = g*dg + p maps to
+    channel block p (channel index p*C + c)."""
+    b, d, h, w, c = x.shape
+    assert d % g == 0, (d, g)
+    return (
+        x.reshape(b, d // g, g, h, w, c)
+        .transpose(0, 1, 3, 4, 2, 5)
+        .reshape(b, d // g, h, w, g * c)
+    )
+
+
+def from_grouped(xg: jax.Array, g: int = G) -> jax.Array:
+    """Inverse of :func:`to_grouped`."""
+    b, dg, h, w, gc = xg.shape
+    assert gc % g == 0, (gc, g)
+    c = gc // g
+    return (
+        xg.reshape(b, dg, h, w, g, c)
+        .transpose(0, 1, 4, 2, 3, 5)
+        .reshape(b, dg * g, h, w, c)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _band_selector(g: int, stride: int) -> np.ndarray:
+    """0/1 selector S[dg, p, q, dz]: grouped-kernel block (dg, p, q) takes
+    canonical D-tap dz.
+
+    stride 1: output plane o = g*go + q reads input i = g*(go + dg - 1) + p
+              at dz = i - o + 1        = g*(dg - 1) + p - q + 1
+    stride 2: output plane o = g*go + q reads input i = g*(2*go + dg - 1) + p
+              at dz = i - 2*o + 1      = g*dg + p - 2*q - g + 1
+    (both with torch pad=1 semantics; group-dim conv pad (1, 1)).
+    """
+    s = np.zeros((3, g, g, 3), dtype=np.float32)
+    for dg in range(3):
+        for p in range(g):
+            for q in range(g):
+                if stride == 1:
+                    dz = g * (dg - 1) + p - q + 1
+                else:
+                    dz = g * dg + p - 2 * q - g + 1
+                if 0 <= dz <= 2:
+                    s[dg, p, q, dz] = 1.0
+    return s
+
+
+def grouped_kernel(k: jax.Array, g: int = G, stride: int = 1) -> jax.Array:
+    """Expand a canonical [3, 3, 3, Cin, Cout] kernel to the block-banded
+    grouped form [3, 3, 3, g*Cin, g*Cout] (group-window dim leading)."""
+    kd, kh, kw, ci, co = k.shape
+    assert kd == kh == kw == 3, k.shape
+    sel = jnp.asarray(_band_selector(g, stride), dtype=k.dtype)
+    # [dg,p,q,dz] x [dz,kh,kw,ci,co] -> [dg,kh,kw,p,ci,q,co]
+    kg = jnp.einsum("dpqz,zhwio->dhwpiqo", sel, k)
+    return kg.reshape(3, 3, 3, g * ci, g * co)
+
+
+def grouped_conv3d(
+    xg: jax.Array, k: jax.Array, stride: int = 1, g: int = G
+) -> jax.Array:
+    """3x3x3 pad-1 stride-``s`` conv on a grouped volume.
+
+    xg: [B, D/g, H, W, g*Cin]; k: canonical [3, 3, 3, Cin, Cout].
+    Returns [B, D'/g, H', W', g*Cout]. Exactly matches
+    ``conv3d_xla(from_grouped(xg), k)`` (tests/test_grouped3d.py).
+    """
+    assert stride in (1, 2), stride
+    kg = grouped_kernel(k, g, stride)
+    return jax.lax.conv_general_dilated(
+        xg,
+        kg,
+        window_strides=(stride,) * 3,
+        padding=((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xg.dtype)
+
+
+def conv_transpose3d_phased_grouped(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) taking UNGROUPED input and
+    emitting GROUPED (g=4) output — the hourglass-decoder exit op.
+
+    Identical math + phase-conv structure to
+    ``ecm_tpu.ops.conv3d.conv_transpose3d_phased`` (one 2x2x2 VALID conv,
+    all 8 subpixel phases packed along Cout); only the final interleave
+    differs: output plane 2*d + rd with d = 2*dg' + s lands at plane-slot
+    2*s + rd of output group dg', i.e.
+
+        out_g[b, dg', 2h+rh, 2w+rw, (2*s+rd)*C + c] = y[b, 2dg'+s, h, w, rd, rh, rw, c]
+
+    x: [B, D, H, W, Cin] (D even); kernel: [3, 3, 3, Cin, Cout].
+    out: [B, D/2, 2H, 2W, 4*Cout]  (= to_grouped of the ungrouped result).
+    """
+    from ecm_tpu.ops.conv3d import conv_transpose3d_phased  # tap convention ref
+
+    b, d, h, w, cin = x.shape
+    assert d % 2 == 0, d
+    assert kernel.shape[:3] == (3, 3, 3), kernel.shape
+    cout = kernel.shape[-1]
+
+    def tap(r: int, p: int) -> int | None:
+        # same probed convention as conv_transpose3d_phased
+        if r == 0:
+            return 1 if p == 0 else None
+        return 0 if p == 0 else 2
+
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+    kparts = []
+    for rd in (0, 1):
+        for rh in (0, 1):
+            for rw in (0, 1):
+                kp = jnp.zeros((2, 2, 2, cin, cout), kernel.dtype)
+                for pd in (0, 1):
+                    td = tap(rd, pd)
+                    if td is None:
+                        continue
+                    for ph in (0, 1):
+                        th = tap(rh, ph)
+                        if th is None:
+                            continue
+                        for pw in (0, 1):
+                            tw = tap(rw, pw)
+                            if tw is None:
+                                continue
+                            kp = kp.at[pd, ph, pw].set(kernel[td, th, tw])
+                kparts.append(kp)
+    kpack = jnp.concatenate(kparts, axis=-1)  # [2, 2, 2, Cin, 8*Cout]
+    y = jax.lax.conv_general_dilated(
+        xp,
+        kpack,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )  # [B, D, H, W, 8*Cout]
+    y = y.reshape(b, d // 2, 2, h, w, 2, 2, 2, cout)
+    #      dims:  0  1       2  3  4  5  6  7  8
+    #             B  dg'     s  H  W  rd rh rw c
+    out = jnp.transpose(y, (0, 1, 3, 6, 4, 7, 2, 5, 8)).reshape(
+        b, d // 2, 2 * h, 2 * w, 4 * cout
+    )
+    return out.astype(x.dtype)
+
+
+def tile_channels(v: jax.Array, g: int = G) -> jax.Array:
+    """Tile a per-channel vector [C] (BN scale/bias, conv bias, context map
+    channels) to the grouped channel dim [g*C] (plane-slot-major layout)."""
+    return jnp.tile(v, g)
+
+
+def ungroup_cost(costg: jax.Array, g: int = G) -> jax.Array:
+    """Grouped single-channel cost [B, D/g, H, W, g] -> [B, D, H, W]
+    (classification-head exit into the regression tail)."""
+    b, dg, h, w, gc = costg.shape
+    assert gc == g, costg.shape
+    return costg.transpose(0, 1, 4, 2, 3).reshape(b, dg * g, h, w)
