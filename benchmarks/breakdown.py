@@ -123,6 +123,12 @@ def main() -> None:
             flops["cost_volume"],
             bys["cost_volume"],
         )
+    record(
+        "cost_volume_grouped",
+        timeit(lambda a, b: cost_volume(a, b, D4, grouped=True), fl, fr),
+        flops["cost_volume"],
+        bys["cost_volume"],
+    )
 
     # ---- context + aggregation + head (eval: 1 head) ----
     agg = ECMAggregation(channels=C, remat=False, dtype=jnp.bfloat16)
@@ -135,12 +141,22 @@ def main() -> None:
     def agg_fn(v, f):
         return agg.apply(avars, v, f, train=False)[-1]
 
-    record(
-        "aggregation",
-        timeit(agg_fn, vol, fl),
-        flops["context"] + flops["aggregation"] + flops["heads"],
-        bys["context"] + bys["aggregation"] + bys["heads"],
+    agg_flops = flops["context"] + flops["aggregation"] + flops["heads"]
+    agg_bytes = bys["context"] + bys["aggregation"] + bys["heads"]
+    record("aggregation", timeit(agg_fn, vol, fl), agg_flops, agg_bytes)
+
+    # grouped (disparity-folded) layout — same params, TPU-native lanes
+    from ecm_tpu.ops.grouped3d import to_grouped
+
+    agg_g = ECMAggregation(
+        channels=C, layout="grouped", remat=False, dtype=jnp.bfloat16
     )
+    volg = to_grouped(vol)
+
+    def agg_g_fn(v, f):
+        return agg_g.apply(avars, v, f, train=False)[-1]
+
+    record("aggregation_grouped", timeit(agg_g_fn, volg, fl), agg_flops, agg_bytes)
 
     # ---- regression (fused Pallas vs canonical fullres) ----
     cost4 = jnp.asarray(rng.normal(size=(B, D4, H4, W4)).astype(np.float32))

@@ -64,22 +64,50 @@ class Hourglass(nn.Module):
         dt = self.dtype
         train = self.train
         if self.layout == "grouped":
-            from ecm_tpu.models.grouped_layers import GConvBN, GDeconvBN
+            # full-res x is g=4 (C channels -> 128 lanes); the 2C-channel
+            # interior runs at g=2 (also 128 lanes, but only x2 dense-FLOP
+            # inflation — measured faster at 64 channels, see GConv3D doc).
+            # conv1 transitions 4->2; conv6 emits g=4 back at full res.
+            from ecm_tpu.models.grouped_layers import (
+                GConvBN,
+                GConvBNDown,
+                GDeconvBN,
+            )
 
-            conv_cls, deconv_cls = GConvBN, GDeconvBN
+            conv1 = GConvBNDown(2 * c, relu=True, dtype=dt, name="conv1")
+            conv2 = GConvBN(
+                2 * c, strides=1, relu=False, groups=2, dtype=dt, name="conv2"
+            )
+            conv3 = GConvBN(
+                2 * c, strides=2, relu=True, groups=2, dtype=dt, name="conv3"
+            )
+            conv4 = GConvBN(
+                2 * c, strides=1, relu=True, groups=2, dtype=dt, name="conv4"
+            )
+            conv5 = GDeconvBN(
+                2 * c, relu=False, in_groups=2, out_groups=2, dtype=dt, name="conv5"
+            )
+            conv6 = GDeconvBN(
+                c, relu=False, in_groups=2, out_groups=4, dtype=dt, name="conv6"
+            )
         else:
-            conv_cls, deconv_cls = ConvBN, ConvTransposeBN
-        out = conv_cls(2 * c, strides=2, relu=True, dtype=dt, name="conv1")(x, train)
-        pre = conv_cls(2 * c, strides=1, relu=False, dtype=dt, name="conv2")(out, train)
+            conv1 = ConvBN(2 * c, strides=2, relu=True, dtype=dt, name="conv1")
+            conv2 = ConvBN(2 * c, strides=1, relu=False, dtype=dt, name="conv2")
+            conv3 = ConvBN(2 * c, strides=2, relu=True, dtype=dt, name="conv3")
+            conv4 = ConvBN(2 * c, strides=1, relu=True, dtype=dt, name="conv4")
+            conv5 = ConvTransposeBN(2 * c, relu=False, dtype=dt, name="conv5")
+            conv6 = ConvTransposeBN(c, relu=False, dtype=dt, name="conv6")
+        out = conv1(x, train)
+        pre = conv2(out, train)
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
         else:
             pre = nn.relu(pre)
-        out = conv_cls(2 * c, strides=2, relu=True, dtype=dt, name="conv3")(pre, train)
-        out = conv_cls(2 * c, strides=1, relu=True, dtype=dt, name="conv4")(out, train)
-        post = deconv_cls(2 * c, relu=False, dtype=dt, name="conv5")(out, train)
+        out = conv3(pre, train)
+        out = conv4(out, train)
+        post = conv5(out, train)
         post = nn.relu(post + (presqu if presqu is not None else pre))
-        out = deconv_cls(c, relu=False, dtype=dt, name="conv6")(post, train)
+        out = conv6(post, train)
         return out, pre, post
 
 

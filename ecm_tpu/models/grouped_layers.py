@@ -33,6 +33,7 @@ from ecm_tpu.ops.grouped3d import (
     conv_transpose3d_phased_grouped,
     from_grouped,
     grouped_conv3d,
+    grouped_conv3d_down,
     tile_channels,
 )
 
@@ -80,27 +81,34 @@ class BatchNormG(nn.Module):
 
 class GConv3D(nn.Module):
     """Grouped 3x3x3 conv; param-compatible with ``Conv3DOpt`` ("kernel"
-    [3,3,3,Cin,Cout], optional "bias" [Cout])."""
+    [3,3,3,Cin,Cout], optional "bias" [Cout]). ``groups`` picks the folding
+    factor (4 for the 32-channel full-res stack, 2 for the 64-channel
+    hourglass interior — both present 128 output lanes; g=2 pays only x2
+    dense-FLOP inflation, measured faster at 64 channels)."""
 
     features: int
     strides: int = 1
     use_bias: bool = False
+    groups: int = G
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xg: jax.Array) -> jax.Array:
-        cin = xg.shape[-1] // G
+        cin = xg.shape[-1] // self.groups
         kernel = self.param(
             "kernel", conv_init, (3, 3, 3, cin, self.features), jnp.float32
         )
         out = grouped_conv3d(
-            xg.astype(self.dtype), kernel.astype(self.dtype), self.strides
+            xg.astype(self.dtype),
+            kernel.astype(self.dtype),
+            self.strides,
+            g=self.groups,
         )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
             )
-            out = out + tile_channels(bias, G).astype(out.dtype)
+            out = out + tile_channels(bias, self.groups).astype(out.dtype)
         return out
 
 
@@ -110,14 +118,54 @@ class GConvBN(nn.Module):
     features: int
     strides: int = 1
     relu: bool = True
+    groups: int = G
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
         xg = GConv3D(
-            self.features, strides=self.strides, dtype=self.dtype, name="conv"
+            self.features,
+            strides=self.strides,
+            groups=self.groups,
+            dtype=self.dtype,
+            name="conv",
         )(xg)
-        xg = BatchNormG(dtype=self.dtype, name="bn")(xg, use_running_average=not train)
+        xg = BatchNormG(groups=self.groups, dtype=self.dtype, name="bn")(
+            xg, use_running_average=not train
+        )
+        if self.relu:
+            xg = nn.relu(xg)
+        return xg
+
+
+class GConvBNDown(nn.Module):
+    """Grouped stride-2 ``ConvBN`` that transitions g=4 input to g=2 output
+    (the hourglass-encoder entry conv — see grouped_kernel_down)."""
+
+    features: int
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
+        class _Down(nn.Module):
+            features: int
+            dtype: jnp.dtype = jnp.float32
+
+            @nn.compact
+            def __call__(self, xg: jax.Array) -> jax.Array:
+                cin = xg.shape[-1] // G
+                kernel = self.param(
+                    "kernel", conv_init, (3, 3, 3, cin, self.features), jnp.float32
+                )
+                return grouped_conv3d_down(
+                    xg.astype(self.dtype), kernel.astype(self.dtype), G
+                )
+
+        xg = _Down(self.features, dtype=self.dtype, name="conv")(xg)
+        xg = BatchNormG(groups=G // 2, dtype=self.dtype, name="bn")(
+            xg, use_running_average=not train
+        )
         if self.relu:
             xg = nn.relu(xg)
         return xg
@@ -125,21 +173,24 @@ class GConvBN(nn.Module):
 
 class GDeconv3D(nn.Module):
     """Grouped ``Deconv3DOpt``: un-groups the (cheap, low-res) input, runs the
-    subpixel-phased transposed conv, and emits the (full-res) output directly
-    in grouped layout. Param-compatible ("kernel" [3,3,3,Cin,Cout])."""
+    subpixel-phased transposed conv, and emits the output directly in grouped
+    layout (``out_groups`` 2 or 4). Param-compatible ("kernel"
+    [3,3,3,Cin,Cout])."""
 
     features: int
+    in_groups: int = G
+    out_groups: int = G
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xg: jax.Array) -> jax.Array:
-        cin = xg.shape[-1] // G
+        cin = xg.shape[-1] // self.in_groups
         kernel = self.param(
             "kernel", conv_init, (3, 3, 3, cin, self.features), jnp.float32
         )
-        x = from_grouped(xg)  # [B, D, H, W, Cin] — 1/8-res or smaller: cheap
+        x = from_grouped(xg, self.in_groups)  # low-res input: cheap to ungroup
         return conv_transpose3d_phased_grouped(
-            x.astype(self.dtype), kernel.astype(self.dtype)
+            x.astype(self.dtype), kernel.astype(self.dtype), self.out_groups
         )
 
 
@@ -148,12 +199,22 @@ class GDeconvBN(nn.Module):
 
     features: int
     relu: bool = False
+    in_groups: int = G
+    out_groups: int = G
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
-        xg = GDeconv3D(self.features, dtype=self.dtype, name="deconv")(xg)
-        xg = BatchNormG(dtype=self.dtype, name="bn")(xg, use_running_average=not train)
+        xg = GDeconv3D(
+            self.features,
+            in_groups=self.in_groups,
+            out_groups=self.out_groups,
+            dtype=self.dtype,
+            name="deconv",
+        )(xg)
+        xg = BatchNormG(groups=self.out_groups, dtype=self.dtype, name="bn")(
+            xg, use_running_average=not train
+        )
         if self.relu:
             xg = nn.relu(xg)
         return xg

@@ -90,7 +90,7 @@ class Deconv3DOpt(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         import os
 
-        from ecm_tpu.ops.conv3d import conv_transpose3d_phased
+        from ecm_tpu.ops.conv3d import accum_dtype, conv_transpose3d_phased
 
         kernel = self.param(
             "kernel", conv_init, (3, 3, 3, x.shape[-1], self.features), jnp.float32
@@ -100,13 +100,14 @@ class Deconv3DOpt(nn.Module):
             return conv_transpose3d_phased(
                 x.astype(self.dtype), kernel.astype(self.dtype)
             )
+        xc = x.astype(self.dtype)
         return jax.lax.conv_transpose(
-            x.astype(self.dtype),
+            xc,
             kernel.astype(self.dtype),
             strides=(2, 2, 2),
             padding=[(1, 2)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=accum_dtype(xc),
         ).astype(self.dtype)
 
 

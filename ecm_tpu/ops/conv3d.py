@@ -38,6 +38,20 @@ def _impl_from_env() -> str:
     return os.environ.get("ECM_TPU_CONV3D_IMPL", "auto")
 
 
+def accum_dtype(x):
+    """f32 MXU accumulation for f32 inputs; ``None`` (native dtype) for bf16.
+
+    Why not always f32: this jax version cannot TRANSPOSE a mixed-dtype conv
+    (VJP of conv(bf16, bf16)->f32 calls conv(f32 cotangent, bf16 kernel) and
+    errors), so bf16 training forwards must emit bf16 — which is also the
+    memory-lean AMP convention (the MXU still accumulates f32 internally;
+    BN re-computes statistics in f32 downstream either way).
+    """
+    import jax.numpy as _jnp
+
+    return _jnp.float32 if x.dtype == _jnp.float32 else None
+
+
 def _auto_impl(cin: int, cout: int, stride: int) -> str:
     """Measured policy (benchmarks/AGG_MICROBENCH.json, v5e, 384x1248 d192):
     strided convs lower fastest through XLA's native conv3d (the decomposed
@@ -58,7 +72,7 @@ def conv3d_xla(
         window_strides=strides,
         padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=accum_dtype(x),
     ).astype(x.dtype)
 
 
@@ -86,7 +100,7 @@ def conv3d_decomposed(
             window_strides=(s, s),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=accum_dtype(x),
         )
         planes.append(y.reshape(b, d, y.shape[1], y.shape[2], cout))
 
@@ -136,7 +150,7 @@ def conv3d_packed(
         window_strides=(s, s),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=accum_dtype(x),
     )
     ho, wo = y.shape[1], y.shape[2]
     y = y.reshape(b, d, ho, wo, 3, cout)
@@ -224,7 +238,7 @@ def conv_transpose3d_phased(x: jax.Array, kernel: jax.Array) -> jax.Array:
         window_strides=(1, 1, 1),
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=accum_dtype(x),
     )  # [B, D, H, W, 8*Cout]
     y = y.reshape(b, d, h, w, 2, 2, 2, cout)
     # interleave: out[b, 2i+rd, 2j+rh, 2k+rw, c] = y[b, i, j, k, rd, rh, rw, c]

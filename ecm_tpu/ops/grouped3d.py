@@ -48,6 +48,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ecm_tpu.ops.conv3d import accum_dtype
+
 G = 4  # fixed grouping factor: G * C(32) = 128 = TPU lane width
 
 
@@ -127,29 +129,80 @@ def grouped_conv3d(
         window_strides=(stride,) * 3,
         padding=((1, 1),) * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=accum_dtype(xg),
     ).astype(xg.dtype)
 
 
-def conv_transpose3d_phased_grouped(x: jax.Array, kernel: jax.Array) -> jax.Array:
+def grouped_kernel_down(k: jax.Array, g_in: int = G, g_out: int = G // 2) -> jax.Array:
+    """Mixed-grouping stride-2 kernel: input grouped at ``g_in``, output
+    grouped at ``g_out = g_in/2`` — the hourglass-ENCODER entry conv, which
+    transitions the full-res g=4 (C=32) stack to the g=2 (C=64) interior
+    (128 output lanes either side, but the interior pays only x2 dense-FLOP
+    inflation instead of x4).
+
+    Group counts are EQUAL in and out (D halves, g halves), so the group dim
+    convolves at stride 1 with window 2 / pad (1, 0):
+        out plane o = g_out*go + q reads in plane i = g_in*(go + dg - 1) + p
+        at dz = i - 2*o + 1 = g_in*dg + p - 2*q - g_in + 1, kept iff 0<=dz<=2.
+    Use with conv strides (1, 2, 2), padding ((1, 0), (1, 1), (1, 1)).
+    """
+    kd, kh, kw, ci, co = k.shape
+    assert kd == kh == kw == 3, k.shape
+    assert g_in == 2 * g_out, (g_in, g_out)
+    sel = np.zeros((2, g_in, g_out, 3), dtype=np.float32)
+    for dg in range(2):
+        for p in range(g_in):
+            for q in range(g_out):
+                dz = g_in * dg + p - 2 * q - g_in + 1
+                if 0 <= dz <= 2:
+                    sel[dg, p, q, dz] = 1.0
+    selj = jnp.asarray(sel, dtype=k.dtype)
+    kg = jnp.einsum("dpqz,zhwio->dhwpiqo", selj, k)
+    return kg.reshape(2, 3, 3, g_in * ci, g_out * co)
+
+
+def grouped_conv3d_down(xg: jax.Array, k: jax.Array, g_in: int = G) -> jax.Array:
+    """Stride-2 conv from a ``g_in``-grouped volume to a ``g_in/2``-grouped
+    output (see :func:`grouped_kernel_down`). Matches
+    ``conv3d_xla(from_grouped(xg, g_in), k, stride 2)`` re-grouped at g_in/2."""
+    kg = grouped_kernel_down(k, g_in, g_in // 2)
+    return jax.lax.conv_general_dilated(
+        xg,
+        kg,
+        window_strides=(1, 2, 2),
+        padding=((1, 0), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=accum_dtype(xg),
+    ).astype(xg.dtype)
+
+
+def conv_transpose3d_phased_grouped(
+    x: jax.Array, kernel: jax.Array, out_groups: int = G
+) -> jax.Array:
     """ConvTranspose3d(k=3, s=2, p=1, op=1) taking UNGROUPED input and
-    emitting GROUPED (g=4) output — the hourglass-decoder exit op.
+    emitting GROUPED output — the hourglass-decoder exit op.
 
     Identical math + phase-conv structure to
     ``ecm_tpu.ops.conv3d.conv_transpose3d_phased`` (one 2x2x2 VALID conv,
     all 8 subpixel phases packed along Cout); only the final interleave
-    differs: output plane 2*d + rd with d = 2*dg' + s lands at plane-slot
-    2*s + rd of output group dg', i.e.
+    differs. ``out_groups=4``: output plane 2*d + rd with d = 2*dg' + s
+    lands at plane-slot 2*s + rd of output group dg', i.e.
 
         out_g[b, dg', 2h+rh, 2w+rw, (2*s+rd)*C + c] = y[b, 2dg'+s, h, w, rd, rh, rw, c]
 
-    x: [B, D, H, W, Cin] (D even); kernel: [3, 3, 3, Cin, Cout].
-    out: [B, D/2, 2H, 2W, 4*Cout]  (= to_grouped of the ungrouped result).
+    ``out_groups=2``: groups are (input plane d), slot = rd:
+
+        out_g[b, d, 2h+rh, 2w+rw, rd*C + c] = y[b, d, h, w, rd, rh, rw, c]
+
+    x: [B, D, H, W, Cin] (D even for out_groups=4); kernel [3,3,3,Cin,Cout].
+    out: [B, 2*D/out_groups, 2H, 2W, out_groups*Cout]
+         (= to_grouped(ungrouped result, out_groups)).
     """
     from ecm_tpu.ops.conv3d import conv_transpose3d_phased  # tap convention ref
 
     b, d, h, w, cin = x.shape
-    assert d % 2 == 0, d
+    assert out_groups in (2, 4), out_groups
+    assert out_groups == 2 or d % 2 == 0, d
     assert kernel.shape[:3] == (3, 3, 3), kernel.shape
     cout = kernel.shape[-1]
 
@@ -186,14 +239,22 @@ def conv_transpose3d_phased_grouped(x: jax.Array, kernel: jax.Array) -> jax.Arra
         window_strides=(1, 1, 1),
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=accum_dtype(x),
     )  # [B, D, H, W, 8*Cout]
-    y = y.reshape(b, d // 2, 2, h, w, 2, 2, 2, cout)
-    #      dims:  0  1       2  3  4  5  6  7  8
-    #             B  dg'     s  H  W  rd rh rw c
-    out = jnp.transpose(y, (0, 1, 3, 6, 4, 7, 2, 5, 8)).reshape(
-        b, d // 2, 2 * h, 2 * w, 4 * cout
-    )
+    if out_groups == 4:
+        y = y.reshape(b, d // 2, 2, h, w, 2, 2, 2, cout)
+        #      dims:  0  1       2  3  4  5  6  7  8
+        #             B  dg'     s  H  W  rd rh rw c
+        out = jnp.transpose(y, (0, 1, 3, 6, 4, 7, 2, 5, 8)).reshape(
+            b, d // 2, 2 * h, 2 * w, 4 * cout
+        )
+    else:
+        y = y.reshape(b, d, h, w, 2, 2, 2, cout)
+        #      dims:  0  1  2  3  4   5   6   7
+        #             B  d  H  W  rd  rh  rw  c
+        out = jnp.transpose(y, (0, 1, 2, 5, 3, 6, 4, 7)).reshape(
+            b, d, 2 * h, 2 * w, 2 * cout
+        )
     return out.astype(x.dtype)
 
 

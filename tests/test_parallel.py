@@ -207,3 +207,46 @@ class TestMesh:
 
         x = jnp.ones((2, 4, 4, 4, 8))
         assert constrain_volume(x) is x
+
+
+class TestGroupedDispSharding:
+    def test_grouped_disp_sharded_eval_matches_standard(self):
+        """The grouped (disparity-folded) layout under a ("data","disp") mesh:
+        the cost volume's group dim shards over "disp" (4 groups -> 2 per
+        chip), GSPMD halos the group-window convs, and the result must match
+        the unsharded STANDARD layout within the impl-to-impl envelope
+        (tests/test_grouped3d.py docstring)."""
+        maxd = 64  # grouped needs D/4 % 16 == 0
+        model_s = build_model(
+            "stackhourglass",
+            max_disp=maxd,
+            feature_channels=8,
+            remat=False,
+            agg_layout="standard",
+        )
+        model_g = build_model(
+            "stackhourglass",
+            max_disp=maxd,
+            feature_channels=8,
+            remat=False,
+            agg_layout="grouped",
+        )
+        state = create_train_state(
+            model_s, jax.random.PRNGKey(0), (H, W, 3), make_optimizer(1e-3), 1
+        )
+        batch = batch_of(2)
+        estep_s = make_eval_step(model_s, maxd)
+        estep_g = make_eval_step(model_g, maxd)
+
+        disp_ref, _ = estep_s(state, batch)
+
+        mesh = make_mesh(data=2, disp=2)
+        with use_mesh(mesh):
+            disp_sh, _ = estep_g(
+                jax.device_put(state, replicate(mesh)),
+                jax.device_put(batch, batch_sharding(mesh)),
+            )
+        # soft-argmin amplifies conv-order noise at random weights: compare
+        # with the same tolerance class as the layout-parity tests
+        assert float(jnp.mean(jnp.abs(disp_ref - disp_sh))) < 0.5
+        assert np.isfinite(np.asarray(disp_sh)).all()
