@@ -112,6 +112,12 @@ def grouped_kernel(k: jax.Array, g: int = G, stride: int = 1) -> jax.Array:
     return kg.reshape(3, 3, 3, g * ci, g * co)
 
 
+def _grouped_impl() -> str:
+    import os
+
+    return os.environ.get("ECM_TPU_GROUPED_IMPL", "halo")
+
+
 def grouped_conv3d(
     xg: jax.Array, k: jax.Array, stride: int = 1, g: int = G
 ) -> jax.Array:
@@ -120,8 +126,17 @@ def grouped_conv3d(
     xg: [B, D/g, H, W, g*Cin]; k: canonical [3, 3, 3, Cin, Cout].
     Returns [B, D'/g, H', W', g*Cout]. Exactly matches
     ``conv3d_xla(from_grouped(xg), k)`` (tests/test_grouped3d.py).
+
+    Stride-1 dispatches to the slot-halo form (``ECM_TPU_GROUPED_IMPL=halo``,
+    the measured default — benchmarks/HALO_PROBE.json) which pays 3/(g+2)
+    kernel density instead of 1/g; ``=banded`` keeps the 3-group-window
+    3D-conv form. Stride 2 (the g=2 hourglass-interior down conv) stays
+    banded: its slot window spans two input groups, so the halo form would
+    need a group-merging relayout that eats the FLOP saving.
     """
     assert stride in (1, 2), stride
+    if stride == 1 and _grouped_impl() == "halo":
+        return grouped_conv3d_halo(xg, k, g)
     kg = grouped_kernel(k, g, stride)
     return jax.lax.conv_general_dilated(
         xg,
@@ -131,6 +146,105 @@ def grouped_conv3d(
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=accum_dtype(xg),
     ).astype(xg.dtype)
+
+
+def slot_halo(xg: jax.Array, g: int = G, front_only: bool = False) -> jax.Array:
+    """Append neighbour plane slots to the grouped channel dim.
+
+    [B, Dg, H, W, g*C] -> [B, Dg, H, W, (g+2)*C] laid out as
+    [prev-group-last-slot | g slots | next-group-first-slot], i.e. halo
+    channel block p holds plane slot p-1 (so slots -1..g). Out-of-range
+    groups contribute zeros — exactly the pad-1 D-boundary semantics of the
+    canonical conv. ``front_only`` emits just [prev-last | g slots]
+    (slots -1..g-1, (g+1)*C lanes) — all a stride-2 window ever reads.
+    """
+    b, dg, h, w, gc = xg.shape
+    assert gc % g == 0, (gc, g)
+    c = gc // g
+    z = jnp.zeros_like(xg[:, :1, ..., :c])
+    prev_last = jnp.concatenate([z, xg[:, :-1, ..., (g - 1) * c :]], axis=1)
+    if front_only:
+        return jnp.concatenate([prev_last, xg], axis=-1)
+    next_first = jnp.concatenate([xg[:, 1:, ..., :c], z], axis=1)
+    return jnp.concatenate([prev_last, xg, next_first], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _halo_selector_s1(g: int) -> np.ndarray:
+    """0/1 selector S[p, q, dz]: halo-kernel block (p -> out slot q) takes
+    canonical D-tap dz. Out plane o = g*go + q reads plane o + dz - 1 =
+    slot q + dz - 1 = halo index p = q + dz."""
+    s = np.zeros((g + 2, g, 3), dtype=np.float32)
+    for q in range(g):
+        for dz in range(3):
+            s[q + dz, q, dz] = 1.0
+    return s
+
+
+def halo_kernel_s1(k: jax.Array, g: int = G) -> jax.Array:
+    """Expand a canonical [3, 3, 3, Cin, Cout] kernel to the halo form
+    [3, 3, (g+2)*Cin, g*Cout] for a stride-1 2D conv on ``slot_halo`` input.
+
+    Density is 3/(g+2) (vs 1/g for the 3-group-window banded form of
+    :func:`grouped_kernel`): at g=4 the dense-FLOP inflation drops 4x -> 2x,
+    at g=2 it drops 2x -> 4/3x — the MXU sees the same 128 output lanes
+    either way, so the halo form is pure saved work (measured: see
+    benchmarks/HALO_PROBE.json)."""
+    kd, kh, kw, ci, co = k.shape
+    assert kd == kh == kw == 3, k.shape
+    sel = jnp.asarray(_halo_selector_s1(g), dtype=k.dtype)
+    # [p,q,dz] x [dz,kh,kw,ci,co] -> [kh,kw,p,ci,q,co]
+    kg = jnp.einsum("pqz,zhwio->hwpiqo", sel, k)
+    return kg.reshape(3, 3, (g + 2) * ci, g * co)
+
+
+def grouped_conv3d_halo(xg: jax.Array, k: jax.Array, g: int = G) -> jax.Array:
+    """Stride-1 3x3x3 pad-1 conv on a grouped volume via the slot-halo form:
+    one batched 2D conv whose input carries the two neighbour plane slots
+    (see :func:`halo_kernel_s1`). Matches :func:`grouped_conv3d` exactly
+    (tests/test_grouped3d.py)."""
+    b, dg, h, w, gc = xg.shape
+    xh = slot_halo(xg, g)
+    kh2 = halo_kernel_s1(k, g)
+    y = jax.lax.conv_general_dilated(
+        xh.reshape(b * dg, h, w, xh.shape[-1]),
+        kh2,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype(xg),
+    )
+    return y.reshape(b, dg, h, w, y.shape[-1]).astype(xg.dtype)
+
+
+def grouped_conv3d_down_halo(xg: jax.Array, k: jax.Array, g_in: int = G) -> jax.Array:
+    """Stride-2 conv g_in -> g_in/2 grouping via the (front-only) slot-halo
+    form: out slot q (of g_in/2) reads input slots 2q-1..2q+1 = front-halo
+    indices 2q..2q+2, all within one input group — so the group dim needs no
+    window at all and the conv is a plain stride-2 batched 2D conv with a
+    5/3-dense kernel (vs 8/3 for :func:`grouped_kernel_down`). Matches
+    :func:`grouped_conv3d_down` exactly."""
+    b, dg, h, w, gc = xg.shape
+    ci = gc // g_in
+    g_out = g_in // 2
+    kd, kh, kw, _, co = k.shape
+    assert kd == kh == kw == 3, k.shape
+    xh = slot_halo(xg, g_in, front_only=True)
+    sel = np.zeros((g_in + 1, g_out, 3), dtype=np.float32)
+    for q in range(g_out):
+        for dz in range(3):
+            sel[2 * q + dz, q, dz] = 1.0
+    kg = jnp.einsum("pqz,zhwio->hwpiqo", jnp.asarray(sel, k.dtype), k)
+    kg = kg.reshape(3, 3, (g_in + 1) * ci, g_out * co)
+    y = jax.lax.conv_general_dilated(
+        xh.reshape(b * dg, h, w, xh.shape[-1]),
+        kg,
+        window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype(xg),
+    )
+    return y.reshape(b, dg, y.shape[1], y.shape[2], y.shape[-1]).astype(xg.dtype)
 
 
 def grouped_kernel_down(k: jax.Array, g_in: int = G, g_out: int = G // 2) -> jax.Array:
@@ -164,7 +278,11 @@ def grouped_kernel_down(k: jax.Array, g_in: int = G, g_out: int = G // 2) -> jax
 def grouped_conv3d_down(xg: jax.Array, k: jax.Array, g_in: int = G) -> jax.Array:
     """Stride-2 conv from a ``g_in``-grouped volume to a ``g_in/2``-grouped
     output (see :func:`grouped_kernel_down`). Matches
-    ``conv3d_xla(from_grouped(xg, g_in), k, stride 2)`` re-grouped at g_in/2."""
+    ``conv3d_xla(from_grouped(xg, g_in), k, stride 2)`` re-grouped at g_in/2.
+    Dispatches to the 5/3-dense slot-halo form by default (module note on
+    ``ECM_TPU_GROUPED_IMPL``)."""
+    if _grouped_impl() == "halo":
+        return grouped_conv3d_down_halo(xg, k, g_in)
     kg = grouped_kernel_down(k, g_in, g_in // 2)
     return jax.lax.conv_general_dilated(
         xg,

@@ -55,6 +55,47 @@ def test_grouped_conv3d_matches_xla(stride):
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
 
 
+@pytest.mark.parametrize("g", [2, 4])
+def test_halo_conv3d_matches_banded_and_xla(g):
+    from ecm_tpu.ops.grouped3d import grouped_conv3d_halo
+
+    x = _arr(2, 16, 8, 12, 6)
+    k = _arr(3, 3, 3, 6, 5)
+    ref = conv3d_xla(x, k, (1, 1, 1), ((1, 1),) * 3)
+    out = from_grouped(grouped_conv3d_halo(to_grouped(x, g), k, g), g)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("g_in", [2, 4])
+def test_halo_down_conv_matches_xla(g_in):
+    from ecm_tpu.ops.grouped3d import grouped_conv3d_down_halo
+
+    x = _arr(2, 16, 8, 12, 6)
+    k = _arr(3, 3, 3, 6, 5)
+    ref = conv3d_xla(x, k, (2, 2, 2), ((1, 1),) * 3)
+    out = from_grouped(
+        grouped_conv3d_down_halo(to_grouped(x, g_in), k, g_in), g_in // 2
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_slot_halo_layout():
+    from ecm_tpu.ops.grouped3d import slot_halo
+
+    x = _arr(1, 8, 4, 6, 3)  # D=8, C=3, g=4 -> Dg=2
+    xg = to_grouped(x)
+    xh = np.asarray(slot_halo(xg))
+    xn = np.asarray(x)
+    # halo block p holds plane slot p-1 of the group (zeros off-range)
+    for dg in range(2):
+        for p in range(6):
+            d = 4 * dg + p - 1
+            want = xn[:, d] if 0 <= d < 8 else np.zeros_like(xn[:, 0])
+            np.testing.assert_array_equal(xh[:, dg, :, :, 3 * p : 3 * (p + 1)], want)
+
+
 def test_grouped_deconv_matches_phased():
     x = _arr(2, 16, 8, 12, 6)
     k = _arr(3, 3, 3, 6, 5)
