@@ -112,14 +112,41 @@ def grouped_kernel(k: jax.Array, g: int = G, stride: int = 1) -> jax.Array:
     return kg.reshape(3, 3, 3, g * ci, g * co)
 
 
-def _grouped_impl() -> str:
-    import os
+import os as _os
 
-    return os.environ.get("ECM_TPU_GROUPED_IMPL", "halo")
+# Implementation policy, read ONCE at import (under jit the choice is baked
+# into the cached trace, so a post-import env change would silently no-op —
+# ADVICE r3). Values: "auto" (= measured full-model winner: banded), "halo",
+# "banded". Per-call override via the ``impl=`` argument.
+#
+# Why banded everywhere (round-4 measurements, all on the real v5e):
+# op-level, halo WINS every stride-1 shape 1.08-1.26x (HALO_PROBE.json — its
+# kernel is 3/(g+2) dense vs 1/g) and LOSES the g4->g2 down conv 3.0x. But
+# COMPOSED into the full model, halo stride-1 is a net loss: headline bench
+# 17.93 pairs/s all-banded vs 15.86 halo-s1+banded-down vs 15.99 all-halo
+# (BENCH_r03/r04 runs; spread < 1%). The standalone probe amortizes the
+# slot_halo materialization differently than the real graph, where each conv
+# sits between BN/ReLU producers and consumers and the extra (g+2)/g HBM
+# copy per conv breaks XLA's epilogue fusion. Round-3 shipped
+# halo-everywhere unmeasured and lost 11%; this default is the measured
+# end-to-end winner, and the halo forms stay available (tested) for shapes
+# where they might compose better.
+_IMPL_DEFAULT = _os.environ.get("ECM_TPU_GROUPED_IMPL", "auto")
+
+
+def _resolve_impl(impl: str | None, stride: int) -> str:
+    mode = impl if impl is not None else _IMPL_DEFAULT
+    if mode == "auto":
+        return "banded"
+    return mode
 
 
 def grouped_conv3d(
-    xg: jax.Array, k: jax.Array, stride: int = 1, g: int = G
+    xg: jax.Array,
+    k: jax.Array,
+    stride: int = 1,
+    g: int = G,
+    impl: str | None = None,
 ) -> jax.Array:
     """3x3x3 pad-1 stride-``s`` conv on a grouped volume.
 
@@ -127,15 +154,12 @@ def grouped_conv3d(
     Returns [B, D'/g, H', W', g*Cout]. Exactly matches
     ``conv3d_xla(from_grouped(xg), k)`` (tests/test_grouped3d.py).
 
-    Stride-1 dispatches to the slot-halo form (``ECM_TPU_GROUPED_IMPL=halo``,
-    the measured default — benchmarks/HALO_PROBE.json) which pays 3/(g+2)
-    kernel density instead of 1/g; ``=banded`` keeps the 3-group-window
-    3D-conv form. Stride 2 (the g=2 hourglass-interior down conv) stays
-    banded: its slot window spans two input groups, so the halo form would
-    need a group-merging relayout that eats the FLOP saving.
+    ``impl``: None -> module default (see ``_IMPL_DEFAULT``); "auto" = the
+    measured full-model winner (banded — module policy note);
+    "halo"/"banded" force a specific form.
     """
     assert stride in (1, 2), stride
-    if stride == 1 and _grouped_impl() == "halo":
+    if stride == 1 and _resolve_impl(impl, stride) == "halo":
         return grouped_conv3d_halo(xg, k, g)
     kg = grouped_kernel(k, g, stride)
     return jax.lax.conv_general_dilated(
@@ -188,8 +212,9 @@ def halo_kernel_s1(k: jax.Array, g: int = G) -> jax.Array:
     Density is 3/(g+2) (vs 1/g for the 3-group-window banded form of
     :func:`grouped_kernel`): at g=4 the dense-FLOP inflation drops 4x -> 2x,
     at g=2 it drops 2x -> 4/3x — the MXU sees the same 128 output lanes
-    either way, so the halo form is pure saved work (measured: see
-    benchmarks/HALO_PROBE.json)."""
+    either way. Measured 1.08-1.26x faster STANDALONE across the model's
+    stride-1 shapes (benchmarks/HALO_PROBE.json) but a net loss composed
+    into the full model (module policy note) — hence not the default."""
     kd, kh, kw, ci, co = k.shape
     assert kd == kh == kw == 3, k.shape
     sel = jnp.asarray(_halo_selector_s1(g), dtype=k.dtype)
@@ -275,13 +300,17 @@ def grouped_kernel_down(k: jax.Array, g_in: int = G, g_out: int = G // 2) -> jax
     return kg.reshape(2, 3, 3, g_in * ci, g_out * co)
 
 
-def grouped_conv3d_down(xg: jax.Array, k: jax.Array, g_in: int = G) -> jax.Array:
+def grouped_conv3d_down(
+    xg: jax.Array, k: jax.Array, g_in: int = G, impl: str | None = None
+) -> jax.Array:
     """Stride-2 conv from a ``g_in``-grouped volume to a ``g_in/2``-grouped
     output (see :func:`grouped_kernel_down`). Matches
     ``conv3d_xla(from_grouped(xg, g_in), k, stride 2)`` re-grouped at g_in/2.
-    Dispatches to the 5/3-dense slot-halo form by default (module note on
-    ``ECM_TPU_GROUPED_IMPL``)."""
-    if _grouped_impl() == "halo":
+    Default (``impl="auto"``) is banded: despite the halo form's lower kernel
+    density (5/3 vs 8/3), XLA runs the fat-input stride-2 2D conv at 2.8 TF/s
+    vs banded's 8.5 — a measured 3.0x loss even standalone
+    (benchmarks/HALO_PROBE.json "hg_down"), so halo is opt-in here."""
+    if _resolve_impl(impl, stride=2) == "halo":
         return grouped_conv3d_down_halo(xg, k, g_in)
     kg = grouped_kernel_down(k, g_in, g_in // 2)
     return jax.lax.conv_general_dilated(

@@ -45,12 +45,25 @@ def test_grouped_roundtrip():
     assert jnp.array_equal(from_grouped(to_grouped(x)), x)
 
 
+@pytest.mark.parametrize("impl", ["banded", "halo", "auto"])
 @pytest.mark.parametrize("stride", [1, 2])
-def test_grouped_conv3d_matches_xla(stride):
+def test_grouped_conv3d_matches_xla(stride, impl):
     x = _arr(2, 16, 8, 12, 6)
     k = _arr(3, 3, 3, 6, 5)
     ref = conv3d_xla(x, k, (stride,) * 3, ((1, 1),) * 3)
-    out = from_grouped(grouped_conv3d(to_grouped(x), k, stride))
+    out = from_grouped(grouped_conv3d(to_grouped(x), k, stride, impl=impl))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["banded", "halo", "auto"])
+def test_grouped_down_conv_matches_xla(impl):
+    from ecm_tpu.ops.grouped3d import grouped_conv3d_down
+
+    x = _arr(2, 16, 8, 12, 6)
+    k = _arr(3, 3, 3, 6, 5)
+    ref = conv3d_xla(x, k, (2, 2, 2), ((1, 1),) * 3)
+    out = from_grouped(grouped_conv3d_down(to_grouped(x, 4), k, 4, impl=impl), 2)
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
 
