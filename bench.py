@@ -29,18 +29,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same policy as ecm_tpu.cli.common): full-model
+# compiles take minutes through the relay; re-runs start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ECM_TPU_COMPILE_CACHE", "/tmp/ecm_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_PAIRS_PER_S = 2.4
 PEAK_TFLOPS = float(os.environ.get("ECM_TPU_PEAK_TFLOPS", "197"))
 H, W, MAXD = 384, 1248, 192
-BATCH = 4  # serving batch: amortizes per-launch overhead, fills the MXU
+# serving batch: amortizes per-launch overhead, fills the MXU. Overridable
+# for batch-sweep probes; the committed default is the measured-best point.
+BATCH = int(os.environ.get("ECM_TPU_BENCH_BATCH", "4"))
 WARMUP, ITERS = 2, 4
 
 
-def _timed_forward(model, variables, lefts, right) -> float:
-    """Seconds per scan-step (one batch forward), on-device timing: ITERS
-    distinct forwards inside ONE jitted call fetched as a single scalar —
-    immune to per-dispatch RPC overhead and runtime-level dedup of identical
-    dispatches (both observed on this machine's relay-attached TPU)."""
+REPEATS = 5  # timed repeats; report median + min/max spread (round-3 verdict:
+# single-shot timing on this relay-attached chip shows ±5% run-to-run noise,
+# indistinguishable from real regressions without spread fields)
+
+
+def _timed_forward(model, variables, lefts, right) -> list[float]:
+    """Per-scan-step seconds (one batch forward), REPEATS measurements.
+    On-device timing: ITERS distinct forwards inside ONE jitted call fetched
+    as a single scalar — immune to per-dispatch RPC overhead and
+    runtime-level dedup of identical dispatches (both observed on this
+    machine's relay-attached TPU)."""
 
     @jax.jit
     def forward_many(variables, lefts, right):
@@ -53,9 +69,12 @@ def _timed_forward(model, variables, lefts, right) -> float:
 
     for _ in range(WARMUP):
         float(forward_many(variables, lefts, right))
-    t0 = time.perf_counter()
-    float(forward_many(variables, lefts, right))
-    return (time.perf_counter() - t0) / lefts.shape[0]
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(forward_many(variables, lefts, right))
+        times.append((time.perf_counter() - t0) / lefts.shape[0])
+    return times
 
 
 def main() -> None:
@@ -81,13 +100,14 @@ def main() -> None:
         "batch_stats": variables.get("batch_stats", {}),
     }
 
-    t_batch = _timed_forward(model, variables, lefts, right)
+    ts = sorted(_timed_forward(model, variables, lefts, right))
+    t_batch = ts[len(ts) // 2]  # median
     pairs_per_s = BATCH / t_batch
     ms_per_pair = 1e3 * t_batch / BATCH
 
     # single-pair latency (config 1 proper)
-    t1 = _timed_forward(model, variables, lefts[:, :1], right[:1])
-    batch1_ms = 1e3 * t1
+    t1s = sorted(_timed_forward(model, variables, lefts[:, :1], right[:1]))
+    batch1_ms = 1e3 * t1s[len(t1s) // 2]
 
     flops_pair = sum(
         flops_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fused").values()
@@ -102,8 +122,16 @@ def main() -> None:
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 4),
                 "ms_per_pair": round(ms_per_pair, 2),
+                "ms_per_pair_min": round(1e3 * ts[0] / BATCH, 2),
+                "ms_per_pair_max": round(1e3 * ts[-1] / BATCH, 2),
+                "repeats": REPEATS,
                 "batch1_ms": round(batch1_ms, 2),
                 "mfu": round(mfu, 4),
+                "baseline_note": (
+                    "estimated: 2.4 pairs/s is a PSMNet-class 1080Ti-era "
+                    "figure; the reference's own runtime was unrecoverable "
+                    "(BASELINE.json published={})"
+                ),
             }
         )
     )
