@@ -1,0 +1,67 @@
+"""Run the tiny-overfit training gate on the current backend and commit the
+evidence (round-3 verdict ask #3a: "no artifact from the overfit_gate config
+on the real chip exists").
+
+Drives the REAL trainer CLI path (ecm_tpu.cli.train main(), overfit_gate
+preset: synthetic warped pairs, 200 steps, f32, max_disp 48) into a fresh
+checkpoint dir, then summarizes its metrics.jsonl into
+benchmarks/OVERFIT.json (git-stamped): first/last loss and EPE plus the gate
+verdict (EPE must drop below 2 px — an untrained model on this data sits at
+~10-15 px, so the gate proves the full train loop optimizes for real).
+
+    timeout 1500 python benchmarks/overfit_gate.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+EPE_GATE_PX = 2.0
+
+
+def main() -> None:
+    from ecm_tpu.cli.train import main as train_main
+
+    workdir = tempfile.mkdtemp(prefix="ecm_overfit_")
+    try:
+        train_main(["--config", "overfit_gate", "--savemodel", workdir])
+        rows = [
+            json.loads(line)
+            for line in open(os.path.join(workdir, "metrics.jsonl"))
+            if line.strip()
+        ]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    assert rows, "trainer wrote no metrics"
+    first, last = rows[0], rows[-1]
+    out = {
+        "git": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+        ).stdout.strip(),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "config": "overfit_gate (synthetic, 200 steps, b2, 128x256, d48, f32)",
+        "first": {k: first[k] for k in ("step", "loss", "epe") if k in first},
+        "last": {k: last[k] for k in ("step", "loss", "epe") if k in last},
+        "gate_epe_px": EPE_GATE_PX,
+        "pass": float(last["epe"]) < EPE_GATE_PX,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "OVERFIT.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    assert out["pass"], f"overfit gate FAILED: final EPE {last['epe']}"
+    print("overfit gate PASS ->", path)
+
+
+if __name__ == "__main__":
+    main()
