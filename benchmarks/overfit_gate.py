@@ -49,7 +49,7 @@ def main() -> None:
         ).stdout.strip(),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-        "config": "overfit_gate (synthetic, 200 steps, b2, 128x256, d48, f32)",
+        "config": "overfit_gate (4 fixed synthetic batches, 600 steps, b2, 128x256, d48, f32)",
         "first": {k: first[k] for k in ("step", "loss", "epe") if k in first},
         "last": {k: last[k] for k in ("step", "loss", "epe") if k in last},
         "gate_epe_px": EPE_GATE_PX,

@@ -139,6 +139,7 @@ def make_data_iter(cfg: ExperimentConfig):
             h=h,
             w=w,
             max_disp=min(cfg.model.max_disp * 0.8, 40.0),
+            distinct=cfg.data.synthetic_distinct,
         )
         return it, None
     from ecm_tpu.data.pipeline import make_train_pipeline

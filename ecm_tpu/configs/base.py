@@ -47,6 +47,10 @@ class DataConfig:
     global_batch: int = 4
     workers: int = 4
     seed: int = 1  # reference default --seed 1
+    # synthetic only: number of DISTINCT batches to cycle (None = unbounded
+    # fresh stream). The overfit gate sets a small value so the model can
+    # actually memorize its training set.
+    synthetic_distinct: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,10 +108,17 @@ CONFIGS: dict[str, ExperimentConfig] = {
         data=DataConfig(dataset="sceneflow", global_batch=64),
         train=TrainConfig(num_steps=150_000, mesh_data=None),
     ),
-    # build-side: tiny-overfit correctness gate on synthetic data
+    # build-side: tiny-overfit correctness gate on synthetic data — cycles 4
+    # FIXED batches so "training works" shows up as memorization (EPE -> ~0);
+    # an unbounded fresh stream would test task-learning speed instead
     "overfit_gate": ExperimentConfig(
         model=ModelConfig(max_disp=48, bf16=False),
-        data=DataConfig(dataset="synthetic", global_batch=2, crop=(128, 256)),
-        train=TrainConfig(num_steps=200, log_every=20, ckpt_every=10_000),
+        data=DataConfig(
+            dataset="synthetic",
+            global_batch=2,
+            crop=(128, 256),
+            synthetic_distinct=4,
+        ),
+        train=TrainConfig(num_steps=600, log_every=50, ckpt_every=10_000),
     ),
 }

@@ -111,13 +111,25 @@ def make_eval_iterator(
 
 
 def make_synthetic_pipeline(
-    cfg: PipelineConfig, h: int = 256, w: int = 512, max_disp: float = 40.0
+    cfg: PipelineConfig,
+    h: int = 256,
+    w: int = 512,
+    max_disp: float = 40.0,
+    distinct: int | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Synthetic stream with the same interface (overfit gate / benchmarks)."""
+    """Synthetic stream with the same interface (overfit gate / benchmarks).
+
+    ``distinct`` bounds the number of DISTINCT batches: the stream cycles
+    through that many fixed batches forever — a true tiny-overfit set
+    (``None`` = a fresh batch every step, i.e. learning the task rather than
+    memorizing; the overfit GATE needs the former)."""
     from ecm_tpu.data.synthetic import make_batch
 
     host_bs, shard = _host_slice(cfg.batch_size)
     step = 0
     while True:
-        yield make_batch((cfg.seed, shard, step).__hash__() & 0x7FFFFFFF, host_bs, h, w, max_disp)
+        s = step if distinct is None else step % distinct
+        yield make_batch(
+            (cfg.seed, shard, s).__hash__() & 0x7FFFFFFF, host_bs, h, w, max_disp
+        )
         step += 1
