@@ -34,6 +34,20 @@ import numpy as np
 PEAK_TFLOPS = float(os.environ.get("ECM_TPU_PEAK_TFLOPS", 197.0))
 HBM_GBPS = float(os.environ.get("ECM_TPU_HBM_GBPS", 819.0))
 
+
+def achievable_hbm_gbps() -> float | None:
+    """Measured streaming bandwidth from benchmarks/HBM_PROBE.json (the
+    "copy" point), if present. On this chip a plain XLA copy reaches only
+    ~200 GB/s of the 819 nominal (round-4 measurement), so nominal-HBM
+    speed-of-light is unreachable for ANY memory-bound op — x_from_sol is
+    reported against both denominators."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "HBM_PROBE.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["copy"]["gbps"])
+    except Exception:
+        return None
+
 B, H, W, MAXD, C = 4, 384, 1248, 192, 32
 H4, W4, D4 = H // 4, W // 4, MAXD // 4
 ITERS = 8
@@ -75,6 +89,8 @@ def main() -> None:
     flops = flops_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fused")
     bys = bytes_stereo_parts(H, W, MAXD, num_heads=1, regress_mode="fused")
 
+    hbm_ach = achievable_hbm_gbps()
+
     def record(name: str, secs_per_iter: float, flops_pair: float, bytes_pair: float):
         """secs_per_iter covers a BATCH; flops/bytes are per stereo pair."""
         t_pair = secs_per_iter / B
@@ -94,6 +110,14 @@ def main() -> None:
             "sol_ms": round(1e3 * t_sol, 3),
             "x_from_sol": round(t_pair / t_sol, 2) if t_sol > 0 else None,
         }
+        if hbm_ach:
+            t_sol_a = max(
+                flops_pair / (PEAK_TFLOPS * 1e12), bytes_pair / (hbm_ach * 1e9)
+            )
+            results[name]["sol_ms_achievable_bw"] = round(1e3 * t_sol_a, 3)
+            results[name]["x_from_sol_achievable_bw"] = (
+                round(t_pair / t_sol_a, 2) if t_sol_a > 0 else None
+            )
 
     # ---- features (siamese: both images) ----
     feat = FeatureExtraction(C, dtype=jnp.bfloat16)
@@ -211,6 +235,7 @@ def main() -> None:
         "config": f"{H}x{W} d{MAXD} b{B} bf16 eval",
         "peak_tflops": PEAK_TFLOPS,
         "hbm_gbps": HBM_GBPS,
+        "hbm_gbps_achievable_measured": achievable_hbm_gbps(),
         "device": str(jax.devices()[0]),
         "parts": results,
     }

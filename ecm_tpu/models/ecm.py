@@ -49,15 +49,21 @@ def regress_disparity(
     - "fused" (eval only): Pallas kernel computing the identical numerics
       without materializing the full-res volume; train falls through to
       fullres (the kernel is forward-only).
-    - "lowres": soft-argmin at quarter resolution, scale x4, bilinear-upsample
-      the disparity map — different (cheaper) numerics, the fast serving path.
+    - "lowres": upsample only the DISPARITY axis (4 phase mixes per low-res
+      plane), soft-argmin at quarter spatial resolution, then bilinear-
+      upsample the disparity map. Approximate (spatial cost mixing happens
+      after the softmax instead of before) but measured 12x closer to exact
+      than the old x4-scaled low-res softargmin at the same speed
+      (benchmarks/REGRESSION_PROBE.json: mean 0.12 px vs 1.50 px, 0.78 ms vs
+      0.83 ms/pair) — the fast serving path.
     """
     if mode == "lowres":
-        from ecm_tpu.ops.softargmin import softargmin_jnp
         from ecm_tpu.ops.upsample import upsample_bilinear
 
-        d4_map = softargmin_jnp(cost4) * 4.0  # [B, H/4, W/4]
-        return upsample_bilinear(d4_map[..., None], (h, w))[..., 0]
+        b, _, h4, w4 = cost4.shape
+        cd = upsample_trilinear(cost4, (max_disp, h4, w4))  # D-phase interp
+        d_low = disparity_regression(cd, max_disp)  # [B, H/4, W/4]
+        return upsample_bilinear(d_low[..., None], (h, w))[..., 0]
     if mode == "fused" and not train:
         from ecm_tpu.ops.pallas_regression import fused_upsample_softargmin
 
@@ -90,9 +96,9 @@ class ECMStereo(nn.Module):
     remat: bool = True
     # "fullres": reference-canonical — trilinear-upsample the cost volume to
     #   [B, D, H, W] then soft-argmin (SURVEY.md 3.4 M5/M6).
-    # "lowres": soft-argmin at quarter resolution, scale x4, bilinear-upsample
-    #   the disparity map — avoids materializing the 368 MB full-res volume;
-    #   different (cheaper) numerics, offered as the fast serving path.
+    # "fused": Pallas kernel, exact fullres numerics without the 368 MB
+    #   full-res volume. "lowres": approximate fast path (see
+    #   regress_disparity docstring / benchmarks/REGRESSION_PROBE.json).
     regress_mode: str = "fullres"
     dtype: Any = jnp.float32
 

@@ -173,7 +173,11 @@ def bytes_stereo_parts(
         # 3 row-block passes over the low-res f32 volume + f32 [H, W] output
         regression_bytes = num_heads * (3 * n * 4 + h * w * 4)
     elif regress_mode == "lowres":
-        regression_bytes = num_heads * (n * 4 + s4 * 4 + h * w * 4)
+        # D-phase upsample materializes [D, H/4, W/4] f32 (write+read), then
+        # the low-res disparity map and the bilinear full-res output
+        regression_bytes = num_heads * (
+            n * 4 + 2 * (4 * n) * 4 + s4 * 4 + h * w * 4
+        )
     else:  # fullres: materialize [D, H, W] f32 (resize write + softargmin read)
         regression_bytes = num_heads * (n * 4 + 2 * full_vox * 4 + h * w * 4)
     parts = {
