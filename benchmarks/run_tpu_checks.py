@@ -171,12 +171,74 @@ def check_fused_agg(results: dict) -> None:
         print(f"fused_agg/{label}: Mosaic COMPILES, parity rel={rel:.2e}")
 
 
+def check_gband(results: dict) -> None:
+    """Mosaic-compiles the gband grouped-conv kernel at the production lane
+    widths (g4/Cin32, g4/Cin64, g2/Cin64, Cout1) with W=312; Dg/H reduced to
+    keep the gate fast — full-shape perf is gband_bench.py."""
+    from ecm_tpu.ops.pallas_gband import gband_conv_bn_s1, gband_reference
+
+    rng = np.random.default_rng(3)
+    # no cout=1 case: a 4-lane output block is not expressible as an aligned
+    # Mosaic memref slice ("dimension must be aligned to tiling (128)"), and
+    # the model never dispatches gband for the classif exit conv (GConv3D
+    # keeps the XLA banded path there)
+    cases = [
+        ("dres_c", 4, 32, 32, True),
+        ("dres0_1", 4, 64, 32, True),
+        ("hg_conv2", 2, 64, 64, False),
+    ]
+    for label, g, cin, cout, relu in cases:
+        dg, h, w = 3, 8, 312
+        xg = jnp.asarray(
+            rng.normal(size=(1, dg, h, w, g * cin)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        k = jnp.asarray(
+            (rng.normal(size=(3, 3, 3, cin, cout)) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        scale = jnp.asarray(
+            rng.uniform(0.5, 1.5, cout).astype(np.float32)
+        )
+        bias = jnp.asarray((rng.normal(size=cout) * 0.1).astype(np.float32))
+        out = gband_conv_bn_s1(xg, k, scale, bias, g=g, relu=relu)
+        ref = gband_reference(xg, k, scale, bias, g=g, relu=relu)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        sc = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+        rel = err / max(sc, 1e-9)
+        assert rel < 0.02, (label, err, sc)
+        results[f"gband_{label}"] = {"rel_err": round(rel, 6), "compiles": True}
+        print(f"gband/{label}: Mosaic COMPILES, parity rel={rel:.2e}")
+
+    # fused epilogue adds (ctx broadcast + residual) on the dres_c shape
+    for alabel, dga in (("ctx", 1), ("residual", 3)):
+        g, cin, cout, dg, h, w = 4, 32, 32, 3, 8, 312
+        xg = jnp.asarray(
+            rng.normal(size=(1, dg, h, w, g * cin)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        k = jnp.asarray(
+            (rng.normal(size=(3, 3, 3, cin, cout)) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, cout).astype(np.float32))
+        bias = jnp.asarray((rng.normal(size=cout) * 0.1).astype(np.float32))
+        add = jnp.asarray(
+            rng.normal(size=(1, dga, h, w, g * cout)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        out = gband_conv_bn_s1(xg, k, scale, bias, g=g, add=add)
+        ref = gband_reference(xg, k, scale, bias, g=g, add=add)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        sc = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+        rel = err / max(sc, 1e-9)
+        assert rel < 0.02, (alabel, err, sc)
+        results[f"gband_add_{alabel}"] = {"rel_err": round(rel, 6), "compiles": True}
+        print(f"gband_add/{alabel}: Mosaic COMPILES, parity rel={rel:.2e}")
+
+
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     results = {"git": git_sha(), "device": str(jax.devices()[0])}
     check_cost_volume(results)
     check_regression(results)
     check_fused_agg(results)
+    check_gband(results)
     out_path = os.path.join(os.path.dirname(__file__), "TPU_CHECKS.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -203,6 +203,19 @@ class ECMAggregation(nn.Module):
             )
             and self.has_variable("params", "dres0_1")  # init ran (train path)
         )
+        # grouped eval: run the dres0/dres1 block through the gband Pallas
+        # kernel with the context broadcast-add and the dres1 residual fused
+        # into its epilogue (each otherwise costs a separate full-volume HBM
+        # read-modify-write pass) — same gate as GConvBN's dispatch
+        from ecm_tpu.models.grouped_layers import _gband_enabled
+
+        use_gband_block = (
+            not train
+            and grouped
+            and self.context_fusion in ("add", "none")
+            and _gband_enabled()
+            and self.has_variable("params", "dres0_1")
+        )
 
         def ctx(stage: int, name: str):
             if self.context_fusion != "none" and stage in self.context_stages:
@@ -239,6 +252,25 @@ class ECMAggregation(nn.Module):
                 *self._fold_convbn("dres1_2"),
                 relu2=False,
                 residual=True,
+            )
+        elif use_gband_block:
+            from ecm_tpu.ops.pallas_gband import gband_conv_bn_s1
+
+            ctx_map = None
+            if self.context_fusion == "add" and 0 in self.context_stages:
+                m = ContextMapping(
+                    channels3d=c,
+                    fusion="add",
+                    dtype=dt,
+                    return_map=True,
+                    name="context0",
+                )(ctx2d, None, train)  # [B, H, W, C]
+                ctx_map = jnp.tile(m, (1, 1, 1, 4))[:, None]  # [B,1,H,W,4C]
+            x = gband_conv_bn_s1(volume, *self._fold_convbn("dres0_1"))
+            x = gband_conv_bn_s1(x, *self._fold_convbn("dres0_2"), add=ctx_map)
+            y = gband_conv_bn_s1(x, *self._fold_convbn("dres1_1"))
+            cost0 = gband_conv_bn_s1(
+                y, *self._fold_convbn("dres1_2"), relu=False, add=x
             )
         else:
             if grouped:

@@ -23,6 +23,8 @@ updates therefore match flax ``nn.BatchNorm`` on the ungrouped tensor
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -112,8 +114,36 @@ class GConv3D(nn.Module):
         return out
 
 
+# Pallas gband-kernel dispatch for GConvBN's eval path. Read ONCE at import
+# (jit bakes the choice into the trace — same lesson as
+# grouped3d._IMPL_DEFAULT). "on" | "off" | "auto" (= on when the backend is
+# TPU). Policy: may default to "auto" only with the on-chip gate green and a
+# committed perf artifact showing it winning (benchmarks/run_tpu_checks.py,
+# benchmarks/GBAND_BENCH.json).
+# Default "auto" (on for TPU eval) BY MEASUREMENT: gate green at HEAD
+# (TPU_CHECKS.json gband_*), GBAND_BENCH.json shows the dispatched g4
+# full-res shapes winning 1.2-1.6x over the XLA banded chain, and the
+# FULL-MODEL bench confirms the win composes: 19.6 vs 18.0 pairs/s.
+_GBAND_DEFAULT = _os.environ.get("ECM_TPU_GBAND", "auto")
+
+
+def _gband_enabled() -> bool:
+    if _GBAND_DEFAULT == "on":
+        return True
+    if _GBAND_DEFAULT == "auto":
+        return jax.default_backend() == "tpu"
+    return False
+
+
 class GConvBN(nn.Module):
-    """Grouped ``ConvBN`` (3D hot path only: k=3, pad=1, stride 1|2)."""
+    """Grouped ``ConvBN`` (3D hot path only: k=3, pad=1, stride 1|2).
+
+    Eval with ``_gband_enabled()`` routes stride-1 calls through the fused
+    Pallas gband kernel (``ecm_tpu.ops.pallas_gband``): same parameters
+    (read from the conv/bn children), BN running stats folded into the
+    epilogue — numerics equal to conv + BN(eval) + ReLU up to dot order
+    (tests/test_pallas_gband.py). Training and stride-2 keep the XLA chain
+    (autodiff + batch-stat BN)."""
 
     features: int
     strides: int = 1
@@ -123,6 +153,29 @@ class GConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
+        if (
+            not train
+            and self.strides == 1
+            and self.groups == 4  # g2 (/8, /16) measured SLOWER than XLA:
+            # GBAND_BENCH.json hg_conv2 0.74x / hg_conv4 0.92x — the kernel's
+            # 3x H-halo input re-read dominates at interior shapes
+            and _gband_enabled()
+            and self.has_variable("params", "conv")  # init ran (train path)
+        ):
+            from ecm_tpu.ops.pallas_gband import gband_conv_bn_s1
+
+            p = self.variables["params"]
+            s = self.variables["batch_stats"]
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + 1e-5)
+            bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+            return gband_conv_bn_s1(
+                xg.astype(self.dtype),
+                p["conv"]["kernel"].astype(self.dtype),
+                scale,
+                bias,
+                g=self.groups,
+                relu=self.relu,
+            )
         xg = GConv3D(
             self.features,
             strides=self.strides,

@@ -1,0 +1,385 @@
+"""Pallas grouped stride-1 3D-conv kernel with fused BN/ReLU epilogue — the
+round-4 hot-path kernel for the disparity-folded aggregation stack
+(reference M4/M5 3D convs, SURVEY.md 2.1; TPU-native per the
+BASELINE.json:5 mandate "3D conv aggregation -> fused Pallas kernels").
+
+Why XLA is the wall here (measured, benchmarks/AGG_PROBE4.json): every XLA
+formulation of the dominant full-res 32->32 grouped conv — banded 3D conv,
+slot-halo 2D conv, feature-group dz-decomposition, window-split, explicit
+dot9 — lands at 8-24 useful TF/s on the v5e (4-12% of peak). The banded
+kernel wastes 4x dense FLOPs on its 1/g-dense blocks; the halo form wastes
+2x but XLA's conv emitter runs it at only ~25% MXU.
+
+What this kernel does differently:
+
+- **The group dim is resident in VMEM per H-row** (``[Dg, W+pad, g*Cin]``),
+  so the group-halo (the prev group's last slot / next group's first slot)
+  is assembled by cheap in-VMEM shifts instead of an HBM-materialized
+  (g+2)/g-wide copy (what the XLA halo form pays and what made it lose
+  composed — ops/grouped3d.py policy note).
+- **Split mid/edge MXU dots per spatial tap**: the own-slot contribution is
+  ``[Dg*W, g*Cin] x [g*Cin, g*Cout]`` (K = 128 or 256 — exact K-tiles, no
+  lane-concat of the input needed), plus a thin edge dot ``[Dg*W, 2*Cin] x
+  [2*Cin, g*Cout]`` for the cross-group slots. Effective dense inflation
+  1.5x at g=4/Cin=32 vs banded-XLA's padded 4x.
+- **Rolling-window manual-DMA pipeline** (impl="roll", the default): grid
+  over batch only; a 4-slot VMEM prefetch ring holds raw rows, each row is
+  DMA'd from HBM exactly ONCE and its edge lanes built once — the achievable
+  HBM bandwidth here is only ~200 GB/s (benchmarks/HBM_PROBE.json), so the
+  3x input re-read of the simple 3-row-ref form (impl="refs", kept for
+  comparison) costs more than the dots.
+- **BN-affine + ReLU fused into the epilogue** while the accumulator is
+  still in VMEM (the eval path folds BatchNorm running stats into a
+  per-channel scale/bias — same folding as ECMAggregation._fold_convbn).
+- Mosaic alignment: W is right-padded so padded width is a multiple of 8
+  (sublane tiling); Cout=1 outputs (4 lanes) are NOT expressible as aligned
+  output blocks — the classif exit conv stays on XLA.
+
+Forward-only serving kernel: training keeps the XLA banded path (autodiff +
+batch-stat BN). Parity vs the banded reference is exact up to dot order
+(tests/test_pallas_gband.py; on-chip gate in benchmarks/run_tpu_checks.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ecm_tpu.ops.grouped3d import halo_kernel_s1, tile_channels
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _gband_kernel(
+    r0,  # [1, Dg, 1, W+2, L] padded row h-1 (one batch element, all groups)
+    r1,  # row h
+    r2,  # row h+1
+    kh_ref,  # [3, 3, K, N] halo-expanded kernel
+    s_ref,  # [1, N] fused scale (f32)
+    b_ref,  # [1, N] fused bias (f32)
+    out_ref,  # [1, Dg, 1, W, N]
+    *,
+    cin: int,
+    relu: bool,
+    out_dtype,
+):
+    dg = r1.shape[1]
+    w = out_ref.shape[3]  # true W (input is padded to an 8-aligned width)
+    n = out_ref.shape[-1]
+    acc = jnp.zeros((dg * w, n), jnp.float32)
+    for dh, r in enumerate((r0, r1, r2)):
+        x = r[0, :, 0]  # [Dg, W+2, L]
+        z = jnp.zeros_like(x[:1])
+        prev = jnp.concatenate([z, x[:-1]], axis=0)  # group dg-1 at index dg
+        nxt = jnp.concatenate([x[1:], z], axis=0)  # group dg+1 at index dg
+        xh = jnp.concatenate(
+            [prev[..., -cin:], x, nxt[..., :cin]], axis=-1
+        )  # [Dg, W+2, K]
+        for dw in range(3):
+            a = xh[:, dw : dw + w, :].reshape(dg * w, xh.shape[-1])
+            acc = acc + jax.lax.dot_general(
+                a,
+                kh_ref[dh, dw],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y = acc * s_ref[0] + b_ref[0]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0, :, 0] = y.reshape(dg, w, n).astype(out_dtype)
+
+
+# Kernel implementation, read once at import (jit bakes it into the trace):
+# "roll" = rolling-window manual-DMA pipeline (1x HBM input traffic, split
+# mid/edge dots, 4-slot prefetch ring); "refs" = 3-row-ref form (Pallas
+# auto-pipelined, 3x input re-read). Measured (benchmarks/GBAND_BENCH.json +
+# full-model bench runs): op-level they split wins (dres_c: roll 10.8 vs
+# refs 10.9 ms; dres0_1: refs 15.1 vs roll 16.3) and the FULL MODEL is a
+# statistical tie (roll 19.63 vs refs 19.60 pairs/s, spread ~0.1). Default
+# "roll": equal measured perf at 1/3 the HBM input traffic (headroom as
+# shapes grow), with an automatic "refs" fallback for W % 8 != 0.
+_IMPL_DEFAULT = _os.environ.get("ECM_TPU_GBAND_IMPL", "roll")
+
+
+@functools.partial(jax.jit, static_argnames=("g", "relu", "interpret", "impl"))
+def gband_conv_bn_s1(
+    xg: jax.Array,
+    kernel: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    g: int = 4,
+    relu: bool = True,
+    interpret: bool | None = None,
+    impl: str | None = None,
+    add: jax.Array | None = None,
+) -> jax.Array:
+    """Grouped stride-1 3x3x3 pad-1 conv + per-channel affine (+ ReLU).
+
+    xg: [B, Dg, H, W, g*Cin]; kernel: canonical [3, 3, 3, Cin, Cout];
+    scale, bias: [Cout] (the BN eval fold: y = conv(x)*scale + bias).
+    ``add``: optional POST-activation addend fused into the epilogue —
+    ``[B, Dg, H, W, g*Cout]`` (residual) or ``[B, 1, H, W, g*Cout]``
+    (context map, broadcast over disparity groups); saves the separate
+    full-volume HBM read-modify-write pass those adds otherwise cost.
+    Returns [B, Dg, H, W, g*Cout]. Equals
+    ``relu(grouped_conv3d(xg, kernel, 1, g) * tile(scale) + tile(bias))
+    [+ add]``.
+    """
+    b, dg, h, w, l = xg.shape
+    kd, kh_, kw, cin, cout = kernel.shape
+    assert kd == kh_ == kw == 3, kernel.shape
+    assert l == g * cin, (l, g, cin)
+    n = g * cout
+
+    khalo = halo_kernel_s1(kernel, g).reshape(3, 3, (g + 2) * cin, n)
+    st = tile_channels(scale.astype(jnp.float32), g).reshape(1, n)
+    bt = tile_channels(bias.astype(jnp.float32), g).reshape(1, n)
+
+    interp = _interpret() if interpret is None else interpret
+    # right-pad W so the padded width is 8-aligned: Mosaic requires sublane
+    # (second-minor) slice extents to be multiples of 8
+    wpad = (-(w + 2)) % 8
+    # the roll form's manual output DMA slices [Dg, W, N] rows: W (sublane)
+    # must be 8-aligned; odd widths (e.g. W/8 = 156) fall back to "refs"
+    if (impl or _IMPL_DEFAULT) == "roll" and w % 8 == 0:
+        xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+        km = khalo[:, :, cin : cin + l, :].astype(xg.dtype)
+        ke = jnp.concatenate(
+            [khalo[:, :, :cin, :], khalo[:, :, cin + l :, :]], axis=2
+        ).astype(xg.dtype)
+        has_add = add is not None
+        inputs = [xp, km, ke, st, bt]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+        ] * 4
+        scratch = [
+            pltpu.VMEM((4, dg, w + 2 + wpad, l), xg.dtype),
+            pltpu.VMEM((4, dg, w + 2 + wpad, 2 * cin), xg.dtype),
+            pltpu.VMEM((2, dg, w, n), xg.dtype),
+        ]
+        sems = [pltpu.SemaphoreType.DMA((4,)), pltpu.SemaphoreType.DMA((2,))]
+        if has_add:
+            assert add.shape[0] == b and add.shape[2:] == (h, w, n), add.shape
+            dga = add.shape[1]
+            assert dga in (1, dg), (dga, dg)
+            inputs.append(add.astype(xg.dtype))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            scratch.append(pltpu.VMEM((2, dga, w, n), xg.dtype))
+            sems.append(pltpu.SemaphoreType.DMA((2,)))
+        return pl.pallas_call(
+            functools.partial(
+                _gband_roll_kernel,
+                cin=cin,
+                relu=relu,
+                out_dtype=xg.dtype,
+                has_add=has_add,
+            ),
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((b, dg, h, w, n), xg.dtype),
+            scratch_shapes=scratch + sems,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interp,
+        )(*inputs)
+
+    xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+
+    def row_spec(off):
+        return pl.BlockSpec(
+            (1, dg, 1, w + 2 + wpad, l),
+            lambda bi, hi, _off=off: (bi, 0, hi + _off, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gband_kernel, cin=cin, relu=relu, out_dtype=xg.dtype
+        ),
+        grid=(b, h),
+        in_specs=[
+            row_spec(0),
+            row_spec(1),
+            row_spec(2),
+            pl.BlockSpec(khalo.shape, lambda bi, hi: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(st.shape, lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bt.shape, lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, dg, 1, w, n),
+            lambda bi, hi: (bi, 0, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, dg, h, w, n), xg.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interp,
+    )(xp, xp, xp, khalo.astype(xg.dtype), st, bt)
+    if add is not None:  # refs path: the add stays an XLA epilogue
+        out = (out.astype(jnp.float32) + add.astype(jnp.float32)).astype(xg.dtype)
+    return out
+
+
+def _gband_roll_kernel(
+    x_hbm,  # [B, Dg, H+2, W+pad, L] in HBM/ANY (pre-padded H/W, zeros)
+    km_ref,  # [3, 3, L, N] mid kernel (own slots)
+    ke_ref,  # [3, 3, 2*Cin, N] edge kernel (prev-last | next-first slots)
+    s_ref,  # [1, N]
+    b_ref,  # [1, N]
+    *rest,  # [add_hbm,] out_hbm, raw, edge, ob, [ab,] in_sem, out_sem, [add_sem]
+    cin: int,
+    relu: bool,
+    out_dtype,
+    has_add: bool,
+):
+    if has_add:
+        (
+            add_hbm,  # [B, DgA, H, W, N] fused post-activation add (DgA = Dg|1)
+            out_hbm,  # [B, Dg, H, W, N] in HBM/ANY
+            raw_ref,  # VMEM [4, Dg, W+pad, L] rolling raw rows (prefetch ring)
+            edge_ref,  # VMEM [4, Dg, W+pad, 2*Cin] rolling edge rows
+            ob_ref,  # VMEM [2, Dg, W, N] output staging
+            ab_ref,  # VMEM [2, DgA, W, N] add-row staging
+            in_sem,  # DMA sems (4,)
+            out_sem,  # DMA sems (2,)
+            add_sem,  # DMA sems (2,)
+        ) = rest
+    else:
+        (out_hbm, raw_ref, edge_ref, ob_ref, in_sem, out_sem) = rest
+        add_hbm = ab_ref = add_sem = None
+    bi = pl.program_id(0)
+    dg = raw_ref.shape[1]
+    w = ob_ref.shape[2]  # true W (input padded to an 8-aligned width)
+    n = ob_ref.shape[-1]
+    h = out_hbm.shape[2]
+
+    def add_dma(r):
+        return pltpu.make_async_copy(
+            add_hbm.at[bi, :, r], ab_ref.at[jax.lax.rem(r, 2)],
+            add_sem.at[jax.lax.rem(r, 2)],
+        )
+
+    def in_dma(r):
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, :, r], raw_ref.at[jax.lax.rem(r, 4)],
+            in_sem.at[jax.lax.rem(r, 4)],
+        )
+
+    def out_dma(r):
+        return pltpu.make_async_copy(
+            ob_ref.at[jax.lax.rem(r, 2)], out_hbm.at[bi, :, r],
+            out_sem.at[jax.lax.rem(r, 2)],
+        )
+
+    def build_edge(r):
+        s = jax.lax.rem(r, 4)
+        x = raw_ref[s]  # [Dg, W+2, L]
+        z = jnp.zeros_like(x[:1, :, :cin])
+        prev_last = jnp.concatenate([z, x[:-1, :, -cin:]], axis=0)
+        next_first = jnp.concatenate([x[1:, :, :cin], z], axis=0)
+        edge_ref[s] = jnp.concatenate([prev_last, next_first], axis=-1)
+
+    # prologue: rows 0..2 in flight; edges for rows 0, 1 built
+    in_dma(0).start()
+    in_dma(1).start()
+    in_dma(2).start()
+    if has_add:
+        add_dma(0).start()
+    in_dma(0).wait()
+    build_edge(0)
+    in_dma(1).wait()
+    build_edge(1)
+
+    def loop(i, _):
+        # prefetch row i+3 FIRST so its DMA overlaps this iteration's compute
+        # (4-slot ring: slot (i+3)%4 last held row i-1, consumed at iter i-1)
+        @pl.when(i + 3 <= h + 1)
+        def _():
+            in_dma(i + 3).start()
+
+        if has_add:
+
+            @pl.when(i + 1 < h)
+            def _():
+                add_dma(i + 1).start()
+
+        in_dma(i + 2).wait()
+        build_edge(i + 2)
+        acc = jnp.zeros((dg * w, n), jnp.float32)
+        for dh in range(3):
+            s = jax.lax.rem(i + dh, 4)
+            xm = raw_ref[s]
+            xe = edge_ref[s]
+            for dw in range(3):
+                am = xm[:, dw : dw + w, :].reshape(dg * w, xm.shape[-1])
+                ae = xe[:, dw : dw + w, :].reshape(dg * w, xe.shape[-1])
+                acc = acc + jax.lax.dot_general(
+                    am, km_ref[dh, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + jax.lax.dot_general(
+                    ae, ke_ref[dh, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        y = acc * s_ref[0] + b_ref[0]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        y = y.reshape(dg, w, n)
+        if has_add:
+            add_dma(i).wait()
+            a = ab_ref[jax.lax.rem(i, 2)].astype(jnp.float32)  # [DgA, W, N]
+            y = y + a  # DgA == Dg (residual) or 1 (ctx broadcast over groups)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2).wait()
+
+        ob_ref[jax.lax.rem(i, 2)] = y.astype(out_dtype)
+        out_dma(i).start()
+        return 0
+
+    jax.lax.fori_loop(0, h, loop, 0)
+    # drain the last (up to) two output DMAs
+    @pl.when(h >= 2)
+    def _():
+        out_dma(h - 2).wait()
+
+    out_dma(h - 1).wait()
+
+
+def gband_reference(
+    xg: jax.Array,
+    kernel: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    g: int = 4,
+    relu: bool = True,
+    add: jax.Array | None = None,
+) -> jax.Array:
+    """jnp reference for the fused op (tests + CPU fallback)."""
+    from ecm_tpu.ops.grouped3d import grouped_conv3d
+
+    y = grouped_conv3d(xg, kernel, 1, g=g, impl="banded").astype(jnp.float32)
+    y = y * tile_channels(scale.astype(jnp.float32), g) + tile_channels(
+        bias.astype(jnp.float32), g
+    )
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if add is not None:
+        y = y + add.astype(jnp.float32)
+    return y.astype(xg.dtype)

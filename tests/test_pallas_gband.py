@@ -1,0 +1,114 @@
+"""Parity tests for the Pallas gband kernel (ecm_tpu/ops/pallas_gband.py):
+fused grouped stride-1 conv + BN-affine + ReLU vs the banded XLA chain.
+CPU runs in interpret mode (the Mosaic compile is gated on-chip by
+benchmarks/run_tpu_checks.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecm_tpu.models.grouped_layers import GConvBN
+from ecm_tpu.ops.grouped3d import from_grouped, to_grouped
+from ecm_tpu.ops.pallas_gband import gband_conv_bn_s1, gband_reference
+
+RNG = np.random.default_rng(11)
+
+
+def _arr(*shape):
+    return jnp.asarray(RNG.normal(size=shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("impl", ["refs", "roll"])
+@pytest.mark.parametrize("relu", [True, False])
+@pytest.mark.parametrize("g,cin,cout", [(4, 6, 5), (4, 8, 4), (2, 6, 6)])
+def test_gband_matches_reference(g, cin, cout, relu, impl):
+    xg = to_grouped(_arr(2, 4 * g, 6, 8, cin), g)
+    k = _arr(3, 3, 3, cin, cout)
+    scale = jnp.abs(_arr(cout)) + 0.5
+    bias = _arr(cout)
+    out = gband_conv_bn_s1(xg, k, scale, bias, g=g, relu=relu, impl=impl)
+    ref = gband_reference(xg, k, scale, bias, g=g, relu=relu)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["refs", "roll"])
+def test_gband_cout1_bias_only(impl):
+    """The classif-head exit conv: Cout=1, identity scale, bias epilogue."""
+    xg = to_grouped(_arr(1, 16, 6, 8, 6), 4)
+    k = _arr(3, 3, 3, 6, 1)
+    bias = _arr(1)
+    out = gband_conv_bn_s1(xg, k, jnp.ones((1,)), bias, g=4, relu=False, impl=impl)
+    ref = gband_reference(xg, k, jnp.ones((1,)), bias, g=4, relu=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["refs", "roll"])
+@pytest.mark.parametrize("add_dg", [1, None, "full"])
+def test_gband_fused_add(impl, add_dg):
+    """Fused post-activation add: ctx broadcast ([B,1,H,W,N]) and residual
+    ([B,Dg,H,W,N]) forms, both impls."""
+    g, cin, cout = 4, 6, 5
+    xg = to_grouped(_arr(2, 16, 6, 8, cin), g)
+    k = _arr(3, 3, 3, cin, cout)
+    scale = jnp.abs(_arr(cout)) + 0.5
+    bias = _arr(cout)
+    b, dg, h, w, _ = xg.shape
+    if add_dg is None:
+        add = None
+    else:
+        dga = 1 if add_dg == 1 else dg
+        add = _arr(b, dga, h, w, g * cout)
+    out = gband_conv_bn_s1(xg, k, scale, bias, g=g, impl=impl, add=add)
+    ref = gband_reference(xg, k, scale, bias, g=g, add=add)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_aggregation_gband_block_matches_generic(monkeypatch):
+    """ECMAggregation grouped eval with the gband dres-block dispatch ==
+    the generic grouped path, same params (reads dres*/context0 children)."""
+    import ecm_tpu.models.grouped_layers as gl
+    from ecm_tpu.models.aggregation import ECMAggregation
+
+    vol = _arr(1, 16, 8, 12, 12)
+    ctx2d = _arr(1, 8, 12, 6)
+    agg = ECMAggregation(channels=6, layout="grouped", remat=False)
+    v = agg.init({"params": jax.random.PRNGKey(0)}, to_grouped(vol), ctx2d, True)
+    vars_ = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    out_gen = agg.apply(vars_, to_grouped(vol), ctx2d, False)
+    monkeypatch.setattr(gl, "_GBAND_DEFAULT", "on")
+    out_gb = agg.apply(vars_, to_grouped(vol), ctx2d, False)
+    assert len(out_gen) == len(out_gb) == 1
+    scale = float(jnp.max(jnp.abs(out_gen[0]))) + 1e-9
+    assert float(jnp.max(jnp.abs(out_gen[0] - out_gb[0]))) / scale < 2e-3
+
+
+def test_gconvbn_gband_dispatch_matches_xla(monkeypatch):
+    """GConvBN eval with the gband gate forced on == the XLA chain, with the
+    SAME parameter tree (dispatch reads conv/bn children's params)."""
+    import ecm_tpu.models.grouped_layers as gl
+
+    x = _arr(2, 16, 6, 8, 6)
+    xg = to_grouped(x)
+    m = GConvBN(5, strides=1, relu=True)
+    v = m.init({"params": jax.random.PRNGKey(0)}, xg, True)
+    vars_ = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    y_xla = m.apply(vars_, xg, False)
+    monkeypatch.setattr(gl, "_GBAND_DEFAULT", "on")
+    y_gband = m.apply(vars_, xg, False)
+    np.testing.assert_allclose(
+        np.asarray(from_grouped(y_gband, 4)),
+        np.asarray(from_grouped(y_xla, 4)),
+        atol=1e-4,
+        rtol=1e-4,
+    )
+    # train path must NOT dispatch (batch-stat BN + autodiff)
+    y_train_on, _ = m.apply(vars_, xg, True, mutable=["batch_stats"])
+    monkeypatch.setattr(gl, "_GBAND_DEFAULT", "off")
+    y_train_off, _ = m.apply(vars_, xg, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(y_train_on), np.asarray(y_train_off), atol=1e-6
+    )
