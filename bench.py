@@ -41,8 +41,10 @@ BASELINE_PAIRS_PER_S = 2.4
 PEAK_TFLOPS = float(os.environ.get("ECM_TPU_PEAK_TFLOPS", "197"))
 H, W, MAXD = 384, 1248, 192
 # serving batch: amortizes per-launch overhead, fills the MXU. Overridable
-# for batch-sweep probes; the committed default is the measured-best point.
-BATCH = int(os.environ.get("ECM_TPU_BENCH_BATCH", "4"))
+# for batch-sweep probes; the committed default is the measured-best point
+# (batch 8: 22.06 pairs/s vs batch 4's 19.87 on the v5e, same tree —
+# single-pair latency is reported separately as batch1_ms).
+BATCH = int(os.environ.get("ECM_TPU_BENCH_BATCH", "8"))
 WARMUP, ITERS = 2, 4
 
 
