@@ -108,9 +108,39 @@ def probe(name, results, count, dg, h, w, cin, cout, g, relu=True):
     print(name, row, flush=True)
 
 
+def probe_down(results):
+    """hg_conv1 (32->64, g4->g2, stride 2, full-res input) vs XLA banded."""
+    from ecm_tpu.ops.pallas_gband import gband_down_conv_bn, gband_down_reference
+
+    name, count, cin, cout = "hg_conv1 32->64 g4->g2 s2", 3, 32, 64
+    xg = arr(B, D4 // 4, H4, W4, 4 * cin)
+    k = arr(3, 3, 3, cin, cout) * 0.1
+    scale = jnp.abs(jnp.asarray(RNG.normal(size=cout), jnp.float32)) + 0.5
+    bias = jnp.asarray(RNG.normal(size=cout), jnp.float32)
+    ref = jax.jit(lambda x, kk: gband_down_reference(x, kk, scale, bias))(xg, k)
+    out = jax.jit(lambda x, kk: gband_down_conv_bn(x, kk, scale, bias))(xg, k)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    rel = err / max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))), 1e-9)
+    assert rel < 0.02, (name, rel)
+    t_xla = timeit(lambda x, kk: gband_down_reference(x, kk, scale, bias), xg, k)
+    t_pal = timeit(lambda x, kk: gband_down_conv_bn(x, kk, scale, bias), xg, k)
+    useful_tf = 2 * 27 * cin * cout * B * (D4 // 2) * (H4 // 2) * (W4 // 2) / 1e12
+    results[name] = {
+        "count": count,
+        "xla_ms": round(1e3 * t_xla, 3),
+        "roll_ms": round(1e3 * t_pal, 3),
+        "roll_speedup": round(t_xla / t_pal, 3),
+        "roll_useful_tflops": round(useful_tf / t_pal, 1),
+        "roll_rel_err": round(rel, 5),
+        "saved_ms_per_pair": round(1e3 * (t_xla - t_pal) / B * count, 3),
+    }
+    print(name, results[name], flush=True)
+
+
 def main() -> None:
     assert jax.default_backend() == "tpu", jax.default_backend()
     results = {}
+    probe_down(results)
     probe("dres0_1 64->32 g4", results, 1, D4 // 4, H4, W4, 64, 32, 4)
     probe("dres_c 32->32 g4", results, 4, D4 // 4, H4, W4, 32, 32, 4)
     # no classif2 (cout=1): 4-lane output blocks are not Mosaic-alignable;

@@ -208,6 +208,27 @@ def check_gband(results: dict) -> None:
         results[f"gband_{label}"] = {"rel_err": round(rel, 6), "compiles": True}
         print(f"gband/{label}: Mosaic COMPILES, parity rel={rel:.2e}")
 
+    # stride-2 down kernel (g4 -> g2, the hourglass-encoder entry conv)
+    from ecm_tpu.ops.pallas_gband import gband_down_conv_bn, gband_down_reference
+
+    g, cin, cout, dg, h, w = 4, 32, 64, 3, 8, 312
+    xg = jnp.asarray(
+        rng.normal(size=(1, dg, h, w, g * cin)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, cin, cout)) * 0.1).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, cout).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=cout) * 0.1).astype(np.float32))
+    out = gband_down_conv_bn(xg, k, scale, bias)
+    ref = gband_down_reference(xg, k, scale, bias)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    sc = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    rel = err / max(sc, 1e-9)
+    assert rel < 0.02, ("gband_down", err, sc)
+    results["gband_down"] = {"rel_err": round(rel, 6), "compiles": True}
+    print(f"gband_down: Mosaic COMPILES, parity rel={rel:.2e}")
+
     # fused epilogue adds (ctx broadcast + residual) on the dres_c shape
     for alabel, dga in (("ctx", 1), ("residual", 3)):
         g, cin, cout, dg, h, w = 4, 32, 32, 3, 8, 312

@@ -193,7 +193,11 @@ class GConvBN(nn.Module):
 
 class GConvBNDown(nn.Module):
     """Grouped stride-2 ``ConvBN`` that transitions g=4 input to g=2 output
-    (the hourglass-encoder entry conv — see grouped_kernel_down)."""
+    (the hourglass-encoder entry conv — see grouped_kernel_down).
+
+    Eval with ``_gband_enabled()`` routes through the rolling-DMA Pallas
+    down kernel (``pallas_gband.gband_down_conv_bn``) with BN folded into
+    the epilogue — same params, numerics equal up to dot order."""
 
     features: int
     relu: bool = True
@@ -201,6 +205,24 @@ class GConvBNDown(nn.Module):
 
     @nn.compact
     def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
+        if (
+            not train
+            and _gband_enabled()
+            and self.has_variable("params", "conv")
+        ):
+            from ecm_tpu.ops.pallas_gband import gband_down_conv_bn
+
+            p = self.variables["params"]
+            s = self.variables["batch_stats"]
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + 1e-5)
+            bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+            return gband_down_conv_bn(
+                xg.astype(self.dtype),
+                p["conv"]["kernel"].astype(self.dtype),
+                scale,
+                bias,
+                relu=self.relu,
+            )
         class _Down(nn.Module):
             features: int
             dtype: jnp.dtype = jnp.float32

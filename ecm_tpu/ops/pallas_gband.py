@@ -361,6 +361,230 @@ def _gband_roll_kernel(
     out_dma(h - 1).wait()
 
 
+@functools.lru_cache(maxsize=None)
+def _down_own_selector() -> "object":
+    """One-hot S[s, q, dz] over the down conv's OWN-slot map (g4 in -> g2
+    out): out slot q=0 reads in slots 0,1 at dz 1,2 (slot -1 = prev-group
+    slot 3 -> edge, dz 0); q=1 reads slots 1,2,3 at dz 0,1,2."""
+    import numpy as np
+
+    s = np.zeros((4, 2, 3), np.float32)
+    for q, pairs in {0: [(0, 1), (1, 2)], 1: [(1, 0), (2, 1), (3, 2)]}.items():
+        for slot, dz in pairs:
+            s[slot, q, dz] = 1.0
+    return s
+
+
+def _expand_down_kernels(k: jax.Array, cin: int, cout: int):
+    """Expand canonical [3,3,3,cin,cout] (k[dz,dh,dw]) into the four dot
+    kernels of the down kernel. K layouts: kmid01 [3(dh), p*4cin+s*cin+ci,
+    q*cout+co] (p = super-column parity = dw tap 0/1); kmid2 same without p
+    (dw=2); kedge01/kedge2 carry the prev-group slot-3 (q=0, dz=0) term."""
+    sel = jnp.asarray(_down_own_selector(), k.dtype)  # [s, q, dz]
+    # k[dz, dh, dw, ci, co]
+    kmid = jnp.einsum("sqz,zhwio->hwsiqo", sel, k)  # [3, 3(dw), 4, ci, 2, co]
+    kmid01 = (
+        kmid[:, :2]  # dw taps 0, 1 -> parity p
+        .transpose(0, 1, 2, 3, 4, 5)
+        .reshape(3, 2 * 4 * cin, 2 * cout)
+    )
+    kmid2 = kmid[:, 2].reshape(3, 4 * cin, 2 * cout)
+    k0 = k[0]  # [3(dh), 3(dw), ci, co] — the dz=0 tap (edge term)
+    ke01 = jnp.concatenate([k0[:, 0], k0[:, 1]], axis=1)  # [3, 2cin, cout]
+    kedge01 = jnp.pad(ke01, ((0, 0), (0, 0), (0, cout)))  # q=1 block zero
+    kedge2 = jnp.pad(k0[:, 2], ((0, 0), (0, 0), (0, cout)))
+    return kmid01, kmid2, kedge01, kedge2
+
+
+def _gband_down_kernel(
+    x_hbm,  # [B, Dg, H+2, Wp, L] padded (H by 1/1, W by 1 left + zeros right)
+    km01_ref,  # [3, 2L, N]
+    km2_ref,  # [3, L, N]
+    ke01_ref,  # [3, 2*cin, N]
+    ke2_ref,  # [3, cin, N]
+    s_ref,  # [1, N]
+    b_ref,  # [1, N]
+    out_hbm,  # [B, Dg, H/2, W2p, N] (W2p = Wp/2 - 1; caller slices to W/2)
+    raw_ref,  # VMEM [5, Dg, Wp, L] rolling input rows
+    ob_ref,  # VMEM [2, Dg, W2p, N]
+    in_sem,  # DMA sems (5,)
+    out_sem,  # DMA sems (2,)
+    *,
+    cin: int,
+    relu: bool,
+    out_dtype,
+):
+    bi = pl.program_id(0)
+    dg = raw_ref.shape[1]
+    wp = raw_ref.shape[2]
+    l = raw_ref.shape[3]
+    w2p = ob_ref.shape[2]
+    n = ob_ref.shape[-1]
+    h2 = out_hbm.shape[2]
+
+    def in_dma(r):
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, :, r], raw_ref.at[jax.lax.rem(r, 5)],
+            in_sem.at[jax.lax.rem(r, 5)],
+        )
+
+    def out_dma(r):
+        return pltpu.make_async_copy(
+            ob_ref.at[jax.lax.rem(r, 2)], out_hbm.at[bi, :, r],
+            out_sem.at[jax.lax.rem(r, 2)],
+        )
+
+    in_dma(0).start()
+    in_dma(1).start()
+    in_dma(2).start()
+    in_dma(0).wait()
+
+    def loop(i, _):
+        # max row ever USED (and waited) is padded row 2*h2 = H; starting
+        # anything beyond would leave a signaled semaphore for the next
+        # grid step to trip over
+        @pl.when(2 * i + 3 <= h2 * 2)
+        def _():
+            in_dma(2 * i + 3).start()
+
+        @pl.when(2 * i + 4 <= h2 * 2)
+        def _():
+            in_dma(2 * i + 4).start()
+
+        in_dma(2 * i + 1).wait()
+        in_dma(2 * i + 2).wait()
+
+        acc = jnp.zeros((dg * w2p, n), jnp.float32)
+        for dh in range(3):
+            x = raw_ref[jax.lax.rem(2 * i + dh, 5)]  # [Dg, Wp, L]
+            xs = x.reshape(dg, wp // 2, 2 * l)  # super-columns (free bytes)
+            z = jnp.zeros_like(xs[:1])
+            xprev = jnp.concatenate([z, xs[:-1]], axis=0)  # group dg-1
+            a1 = xs[:, :w2p, :].reshape(dg * w2p, 2 * l)
+            a2 = xs[:, 1 : w2p + 1, :l].reshape(dg * w2p, l)
+            e1 = jnp.concatenate(
+                [xprev[:, :w2p, l - cin : l], xprev[:, :w2p, 2 * l - cin :]],
+                axis=-1,
+            ).reshape(dg * w2p, 2 * cin)
+            e2 = xprev[:, 1 : w2p + 1, l - cin : l].reshape(dg * w2p, cin)
+            for a, kk in ((a1, km01_ref), (a2, km2_ref), (e1, ke01_ref), (e2, ke2_ref)):
+                acc = acc + jax.lax.dot_general(
+                    a, kk[dh], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        y = acc * s_ref[0] + b_ref[0]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2).wait()
+
+        ob_ref[jax.lax.rem(i, 2)] = y.reshape(dg, w2p, n).astype(out_dtype)
+        out_dma(i).start()
+        return 0
+
+    jax.lax.fori_loop(0, h2, loop, 0)
+
+    @pl.when(h2 >= 2)
+    def _():
+        out_dma(h2 - 2).wait()
+
+    out_dma(h2 - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+def gband_down_conv_bn(
+    xg: jax.Array,
+    kernel: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    relu: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Grouped stride-2 3x3x3 pad-1 conv (g=4 in -> g=2 out) + BN affine
+    (+ ReLU) — the hourglass-encoder entry conv, rolling-DMA Pallas kernel.
+
+    xg: [B, Dg, H, W, 4*Cin]; kernel: canonical [3, 3, 3, Cin, Cout];
+    scale/bias: [Cout]. Returns [B, Dg, H/2, W/2, 2*Cout]. Equals
+    ``relu(grouped_conv3d_down(xg, kernel, 4) * tile(scale,2) +
+    tile(bias,2))`` (tests/test_pallas_gband.py). Spatial stride 2 is
+    expressed by viewing each row's (W, L) bytes as (W/2, 2L) super-columns,
+    so the even/odd taps become lane slices and no strided access exists;
+    the input is streamed once (5-slot ring, 2 rows per output row).
+    """
+    b, dg, h, w, l = xg.shape
+    kd, kh_, kw, cin, cout = kernel.shape
+    assert kd == kh_ == kw == 3, kernel.shape
+    assert l == 4 * cin, (l, cin)
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    n = 2 * cout
+    h2, w2 = h // 2, w // 2
+
+    interp = _interpret() if interpret is None else interpret
+    km01, km2, ke01, ke2 = _expand_down_kernels(kernel, cin, cout)
+    st = tile_channels(scale.astype(jnp.float32), 2).reshape(1, n)
+    bt = tile_channels(bias.astype(jnp.float32), 2).reshape(1, n)
+
+    # padded width: 1 left + right zeros. Constraints: W2p (output staging
+    # width) 8-aligned; Wp/2 >= W2p+1 (the dw=2 tap reads one super-column
+    # ahead); Wp itself 8-aligned (full-row DMA slices).
+    w2p = -(-(w2 + 1) // 8) * 8  # ceil to 8, >= w2+1 garbage tail
+    wp = -(-(2 * (w2p + 1)) // 8) * 8
+    xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gband_down_kernel, cin=cin, relu=relu, out_dtype=xg.dtype
+        ),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, dg, h2, w2p, n), xg.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((5, dg, wp, l), xg.dtype),
+            pltpu.VMEM((2, dg, w2p, n), xg.dtype),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interp,
+    )(
+        xp,
+        km01.astype(xg.dtype),
+        km2.astype(xg.dtype),
+        ke01.astype(xg.dtype),
+        ke2.astype(xg.dtype),
+        st,
+        bt,
+    )
+    return out[:, :, :, :w2, :]
+
+
+def gband_down_reference(
+    xg: jax.Array,
+    kernel: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    relu: bool = True,
+) -> jax.Array:
+    """jnp reference for the fused down op."""
+    from ecm_tpu.ops.grouped3d import grouped_conv3d_down
+
+    y = grouped_conv3d_down(xg, kernel, 4, impl="banded").astype(jnp.float32)
+    y = y * tile_channels(scale.astype(jnp.float32), 2) + tile_channels(
+        bias.astype(jnp.float32), 2
+    )
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(xg.dtype)
+
+
 def gband_reference(
     xg: jax.Array,
     kernel: jax.Array,

@@ -67,6 +67,37 @@ def test_gband_fused_add(impl, add_dg):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("relu", [True, False])
+@pytest.mark.parametrize("cin,cout", [(6, 5), (8, 4)])
+def test_gband_down_matches_reference(cin, cout, relu):
+    from ecm_tpu.ops.pallas_gband import gband_down_conv_bn, gband_down_reference
+
+    xg = to_grouped(_arr(2, 16, 6, 8, cin), 4)
+    k = _arr(3, 3, 3, cin, cout)
+    scale = jnp.abs(_arr(cout)) + 0.5
+    bias = _arr(cout)
+    out = gband_down_conv_bn(xg, k, scale, bias, relu=relu)
+    ref = gband_down_reference(xg, k, scale, bias, relu=relu)
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_gconvbndown_gband_dispatch_matches_xla(monkeypatch):
+    import ecm_tpu.models.grouped_layers as gl
+    from ecm_tpu.models.grouped_layers import GConvBNDown
+
+    xg = to_grouped(_arr(2, 16, 6, 8, 6), 4)
+    m = GConvBNDown(5)
+    v = m.init({"params": jax.random.PRNGKey(0)}, xg, True)
+    vars_ = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    y_xla = m.apply(vars_, xg, False)
+    monkeypatch.setattr(gl, "_GBAND_DEFAULT", "on")
+    y_gb = m.apply(vars_, xg, False)
+    np.testing.assert_allclose(
+        np.asarray(y_gb), np.asarray(y_xla), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_aggregation_gband_block_matches_generic(monkeypatch):
     """ECMAggregation grouped eval with the gband dres-block dispatch ==
     the generic grouped path, same params (reads dres*/context0 children)."""
