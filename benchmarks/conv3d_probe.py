@@ -310,6 +310,10 @@ def probe_more() -> None:
         )
         record(label + f" grouped_g{g}", t_g, dense, useful)
 
+    results["git"] = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip()
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "CONV3D_PROBE2.json"),
         "w",
