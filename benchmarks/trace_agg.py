@@ -1,0 +1,104 @@
+"""Per-HLO-op device trace of the grouped aggregation forward (round-3
+verdict ask #2: "a per-layer HLO/trace artifact separating MXU time from
+relayout/VPU/BN-glue"). jax.profiler device tracing DOES work through the
+axon relay; this captures one traced eval forward at the production shape
+and aggregates device-op durations by op name.
+
+Writes benchmarks/AGG_TRACE.json (git-stamped): top ops by total device
+time + the grand total, so the op-level breakdowns (AGG_LAYERS.json) can be
+cross-checked against what the chip actually scheduled.
+
+    timeout 900 python benchmarks/trace_agg.py
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ECM_TPU_COMPILE_CACHE", "/tmp/ecm_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+B, D4, H4, W4, C = 4, 48, 96, 312, 32
+
+
+def main() -> None:
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from ecm_tpu.models.aggregation import ECMAggregation
+    from ecm_tpu.ops.grouped3d import to_grouped
+
+    rng = np.random.default_rng(0)
+    agg = ECMAggregation(channels=C, layout="grouped", remat=False, dtype=jnp.bfloat16)
+    vol = jnp.asarray(
+        rng.normal(size=(B, D4, H4, W4, 2 * C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    f2d = jnp.asarray(
+        rng.normal(size=(B, H4, W4, C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    avars = agg.init({"params": jax.random.PRNGKey(0)}, to_grouped(vol), f2d, True)
+    avars = {"params": avars["params"], "batch_stats": avars.get("batch_stats", {})}
+    fn = jax.jit(lambda v, f: agg.apply(avars, v, f, train=False)[-1])
+    volg = to_grouped(vol)
+    fn(volg, f2d).block_until_ready()  # compile + warm
+
+    tdir = tempfile.mkdtemp(prefix="ecm_trace_")
+    with jax.profiler.trace(tdir):
+        fn(volg, f2d).block_until_ready()
+        fn(volg, f2d).block_until_ready()
+
+    paths = glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"), recursive=True)
+    assert paths, f"no trace written under {tdir}"
+    data = json.load(gzip.open(paths[-1]))
+    totals: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for e in data.get("traceEvents", []):
+        name = e.get("name", "")
+        # keep device/HLO events; drop host python frames ($file:line) and
+        # profiler bookkeeping
+        if e.get("ph") != "X" or name.startswith("$") or "PjitFunction" in name:
+            continue
+        totals[name] = totals.get(name, 0.0) + float(e.get("dur", 0.0))
+        counts[name] = counts.get(name, 0) + 1
+    rows = sorted(totals.items(), key=lambda kv: -kv[1])
+    grand = sum(totals.values())
+    out = {
+        "git": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+        ).stdout.strip(),
+        "config": "grouped aggregation eval fwd, 384x1248 d192 b4 bf16, 2 traced runs",
+        "total_device_us": round(grand, 1),
+        "ops": [
+            {
+                "name": k[:120],
+                "total_us": round(v, 1),
+                "count": counts[k],
+                "pct": round(100 * v / grand, 1),
+            }
+            for k, v in rows[:40]
+        ],
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AGG_TRACE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    for r in out["ops"][:15]:
+        print(f"{r['total_us']:>12.1f} us {r['pct']:>5.1f}%  x{r['count']:<4} {r['name']}")
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
