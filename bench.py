@@ -132,7 +132,7 @@ def main() -> None:
                 "baseline_note": (
                     "estimated: 2.4 pairs/s is a PSMNet-class 1080Ti-era "
                     "figure; the reference's own runtime was unrecoverable "
-                    "(BASELINE.json published={})"
+                    "(BASELINE.json has an empty 'published' record)"
                 ),
             }
         )

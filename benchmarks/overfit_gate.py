@@ -3,7 +3,8 @@ evidence (round-3 verdict ask #3a: "no artifact from the overfit_gate config
 on the real chip exists").
 
 Drives the REAL trainer CLI path (ecm_tpu.cli.train main(), overfit_gate
-preset: synthetic warped pairs, 200 steps, f32, max_disp 48) into a fresh
+preset: 4 fixed synthetic warped batches cycled for 600 steps, f32,
+max_disp 48) into a fresh
 checkpoint dir, then summarizes its metrics.jsonl into
 benchmarks/OVERFIT.json (git-stamped): first/last loss and EPE plus the gate
 verdict (EPE must drop below 2 px — an untrained model on this data sits at

@@ -38,6 +38,24 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--no-bf16", action="store_true", help="compute in f32")
     p.add_argument("--pallas", action="store_true", help="use Pallas kernels")
+    p.add_argument(
+        "--regress-mode",
+        default=None,
+        choices=["auto", "fullres", "fused", "lowres"],
+        help="disparity regression path (auto = fused Pallas on TPU eval)",
+    )
+    p.add_argument(
+        "--agg-layout",
+        default=None,
+        choices=["auto", "standard", "grouped"],
+        help="aggregation volume layout (auto = grouped on TPU)",
+    )
+    p.add_argument(
+        "--agg-fused",
+        default=None,
+        choices=["off", "auto", "on"],
+        help="standard-layout fused Pallas aggregation pairs (eval only)",
+    )
     p.add_argument("--mesh-disp", type=int, default=None, help="disp-axis mesh size")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
     p.add_argument(
@@ -57,6 +75,9 @@ def resolve_config(args, default_preset: str) -> ExperimentConfig:
         max_disp=args.maxdisp,
         bf16=cfg.model.bf16 and not args.no_bf16,
         use_pallas=args.pallas or cfg.model.use_pallas,
+        regress_mode=args.regress_mode or cfg.model.regress_mode,
+        agg_layout=args.agg_layout or cfg.model.agg_layout,
+        agg_fused=args.agg_fused or cfg.model.agg_fused,
     )
     data = dataclasses.replace(
         cfg.data,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ecm_tpu.models.context import ContextMapping
-from ecm_tpu.models.layers import ConvBN, ConvTransposeBN, conv_init
+from ecm_tpu.models.layers import BN_EPS, ConvBN, ConvTransposeBN, conv_init
 
 
 class Hourglass(nn.Module):
@@ -181,7 +181,7 @@ class ECMAggregation(nn.Module):
         s = self.variables["batch_stats"]
         for part in name.split("/"):
             p, s = p[part], s[part]
-        scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + 1e-5)
+        scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
         bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
         return p["conv"]["kernel"], scale, bias
 

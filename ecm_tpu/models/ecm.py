@@ -49,6 +49,10 @@ def regress_disparity(
     - "fused" (eval only): Pallas kernel computing the identical numerics
       without materializing the full-res volume; train falls through to
       fullres (the kernel is forward-only).
+    - "auto" (default): "fused" at eval on TPU backends, "fullres"
+      otherwise (train, CPU) — the measured-best exact serving path
+      (benchmarks/REGRESSION_PROBE.json) without interpret-mode Pallas on
+      CPU. Mirrors ``ECMStereo.agg_layout="auto"``.
     - "lowres": upsample only the DISPARITY axis (4 phase mixes per low-res
       plane), soft-argmin at quarter spatial resolution, then bilinear-
       upsample the disparity map. Approximate (spatial cost mixing happens
@@ -57,6 +61,12 @@ def regress_disparity(
       (benchmarks/REGRESSION_PROBE.json: mean 0.12 px vs 1.50 px, 0.78 ms vs
       0.83 ms/pair) — the fast serving path.
     """
+    if mode == "auto":
+        mode = (
+            "fused"
+            if not train and jax.default_backend() == "tpu"
+            else "fullres"
+        )
     if mode == "lowres":
         from ecm_tpu.ops.upsample import upsample_bilinear
 
@@ -94,12 +104,13 @@ class ECMStereo(nn.Module):
     # identical across layouts; checkpoints are interchangeable.
     agg_layout: str = "auto"
     remat: bool = True
+    # "auto" (default): "fused" at eval on TPU, "fullres" otherwise.
     # "fullres": reference-canonical — trilinear-upsample the cost volume to
     #   [B, D, H, W] then soft-argmin (SURVEY.md 3.4 M5/M6).
     # "fused": Pallas kernel, exact fullres numerics without the 368 MB
     #   full-res volume. "lowres": approximate fast path (see
     #   regress_disparity docstring / benchmarks/REGRESSION_PROBE.json).
-    regress_mode: str = "fullres"
+    regress_mode: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,7 +182,7 @@ class ECMBasic(nn.Module):
     context_fusion: str = "add"
     use_pallas: bool = False
     remat: bool = True
-    regress_mode: str = "fullres"
+    regress_mode: str = "auto"  # see ECMStereo.regress_mode
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ecm_tpu.models.layers import conv_init
+from ecm_tpu.models.layers import BN_EPS, conv_init
 from ecm_tpu.ops.grouped3d import (
     G,
     conv_transpose3d_phased_grouped,
@@ -45,7 +45,7 @@ class BatchNormG(nn.Module):
 
     groups: int = G
     momentum: float = 0.9
-    epsilon: float = 1e-5
+    epsilon: float = BN_EPS
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -166,7 +166,7 @@ class GConvBN(nn.Module):
 
             p = self.variables["params"]
             s = self.variables["batch_stats"]
-            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + 1e-5)
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
             bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
             return gband_conv_bn_s1(
                 xg.astype(self.dtype),
@@ -214,7 +214,7 @@ class GConvBNDown(nn.Module):
 
             p = self.variables["params"]
             s = self.variables["batch_stats"]
-            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + 1e-5)
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
             bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
             return gband_down_conv_bn(
                 xg.astype(self.dtype),

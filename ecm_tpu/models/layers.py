@@ -31,6 +31,11 @@ from flax import linen as nn
 # (reference submodule.py weight init: normal(0, sqrt(2 / (k*k*out_ch)))).
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
+# single source of truth for BatchNorm epsilon (torch default): the eval
+# BN-folds in grouped_layers/aggregation must use the SAME value as the
+# train-path BatchNorm modules or the fused serving path silently diverges
+BN_EPS = 1e-5
+
 
 def _to_tuple(v: int | Sequence[int], n: int) -> tuple[int, ...]:
     if isinstance(v, int):
@@ -159,7 +164,7 @@ class ConvBN(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
-                epsilon=1e-5,
+                epsilon=BN_EPS,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 name="bn",
@@ -212,7 +217,7 @@ class ConvTransposeBN(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
-            epsilon=1e-5,
+            epsilon=BN_EPS,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="bn",
