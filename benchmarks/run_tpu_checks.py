@@ -234,6 +234,34 @@ def check_gband(results: dict) -> None:
     results["gband_down"] = {"rel_err": round(rel, 6), "compiles": True}
     print(f"gband_down: Mosaic COMPILES, parity rel={rel:.2e}")
 
+    # classif-head cascade (conv1 + Cout=1 conv2, intermediate in VMEM)
+    from ecm_tpu.ops.pallas_gband import (
+        gband_classif_head,
+        gband_classif_reference,
+    )
+
+    g, cin, dg, h, w = 4, 32, 3, 8, 312
+    xg = jnp.asarray(
+        rng.normal(size=(1, dg, h, w, g * cin)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k1 = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, cin, cin)) * 0.1).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k2 = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, cin, 1)) * 0.1).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    s1 = jnp.asarray(rng.uniform(0.5, 1.5, cin).astype(np.float32))
+    b1 = jnp.asarray((rng.normal(size=cin) * 0.1).astype(np.float32))
+    b2 = jnp.asarray((rng.normal(size=1) * 0.1).astype(np.float32))
+    out = gband_classif_head(xg, k1, s1, b1, k2, b2)
+    ref = gband_classif_reference(xg, k1, s1, b1, k2, b2)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    sc = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    rel = err / max(sc, 1e-9)
+    assert rel < 0.02, ("gband_classif", err, sc)
+    results["gband_classif"] = {"rel_err": round(rel, 6), "compiles": True}
+    print(f"gband_classif: Mosaic COMPILES, parity rel={rel:.2e}")
+
     # fused epilogue adds (ctx broadcast + residual) on the dres_c shape
     for alabel, dga in (("ctx", 1), ("residual", 3)):
         g, cin, cout, dg, h, w = 4, 32, 32, 3, 8, 312

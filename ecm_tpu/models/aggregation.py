@@ -125,8 +125,37 @@ class ClassifHead(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.layout == "grouped":
-            from ecm_tpu.models.grouped_layers import GConv3D, GConvBN
+            from ecm_tpu.models.grouped_layers import (
+                GConv3D,
+                GConvBN,
+                _gband_enabled,
+            )
 
+            if (
+                not train
+                and _gband_enabled()
+                and x.shape[3] % 8 == 0  # rolling output DMA alignment
+                and self.has_variable("params", "conv1")
+            ):
+                # fused cascade kernel: conv1 + conv2 per row, the 32-ch
+                # intermediate stays in VMEM (ops/pallas_gband.py)
+                from ecm_tpu.models.layers import BN_EPS
+                from ecm_tpu.ops.pallas_gband import gband_classif_head
+
+                p = self.variables["params"]
+                s = self.variables["batch_stats"]
+                scale = p["conv1"]["bn"]["scale"] / jnp.sqrt(
+                    s["conv1"]["bn"]["var"] + BN_EPS
+                )
+                bias = p["conv1"]["bn"]["bias"] - s["conv1"]["bn"]["mean"] * scale
+                return gband_classif_head(
+                    x.astype(self.dtype),
+                    p["conv1"]["conv"]["kernel"].astype(self.dtype),
+                    scale,
+                    bias,
+                    p["conv2"]["kernel"].astype(self.dtype),
+                    p["conv2"]["bias"],
+                )
             x = GConvBN(self.channels, relu=True, dtype=self.dtype, name="conv1")(
                 x, train
             )

@@ -176,6 +176,22 @@ class GConvBN(nn.Module):
                 g=self.groups,
                 relu=self.relu,
             )
+        if not train and self.has_variable("params", "conv"):
+            # eval XLA path (g2 interiors, stride-2): fold the BN scale into
+            # the conv kernel and the shift into a bias epilogue — the
+            # bias+ReLU pattern XLA's conv output fusion recognizes, instead
+            # of the standalone full-volume BN pass it was measured NOT to
+            # fuse (round-4 verdict weak #1: ~4.5 ms/pair of BN/ReLU passes)
+            p = self.variables["params"]
+            s = self.variables["batch_stats"]
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
+            bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+            k = (p["conv"]["kernel"] * scale).astype(self.dtype)
+            out = grouped_conv3d(
+                xg.astype(self.dtype), k, self.strides, g=self.groups
+            )
+            out = out + tile_channels(bias, self.groups).astype(out.dtype)
+            return nn.relu(out) if self.relu else out
         xg = GConv3D(
             self.features,
             strides=self.strides,
@@ -223,6 +239,16 @@ class GConvBNDown(nn.Module):
                 bias,
                 relu=self.relu,
             )
+        if not train and self.has_variable("params", "conv"):
+            # eval XLA fallback: BN fold into the kernel (see GConvBN)
+            p = self.variables["params"]
+            s = self.variables["batch_stats"]
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
+            bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+            k = (p["conv"]["kernel"] * scale).astype(self.dtype)
+            out = grouped_conv3d_down(xg.astype(self.dtype), k, G)
+            out = out + tile_channels(bias, G // 2).astype(out.dtype)
+            return nn.relu(out) if self.relu else out
         class _Down(nn.Module):
             features: int
             dtype: jnp.dtype = jnp.float32
@@ -280,6 +306,21 @@ class GDeconvBN(nn.Module):
 
     @nn.compact
     def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
+        if not train and self.has_variable("params", "deconv"):
+            # eval: fold the BN scale into the (linear) transposed-conv
+            # kernel, shift as a bias epilogue — removes the standalone
+            # full-volume BN pass after each hourglass deconv (see GConvBN)
+            p = self.variables["params"]
+            s = self.variables["batch_stats"]
+            scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
+            bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
+            k = (p["deconv"]["kernel"] * scale).astype(self.dtype)
+            x = from_grouped(xg, self.in_groups)
+            out = conv_transpose3d_phased_grouped(
+                x.astype(self.dtype), k, self.out_groups
+            )
+            out = out + tile_channels(bias, self.out_groups).astype(out.dtype)
+            return nn.relu(out) if self.relu else out
         xg = GDeconv3D(
             self.features,
             in_groups=self.in_groups,

@@ -565,6 +565,255 @@ def gband_down_conv_bn(
     return out[:, :, :, :w2, :]
 
 
+def _gband_classif_kernel(
+    x_hbm,  # [B, Dg, H+2, W+pad, L] padded input (zeros, as roll kernel)
+    km1_ref,  # [3, 3, L, L] conv1 mid kernel
+    ke1_ref,  # [3, 3, 2*cin, L] conv1 edge kernel
+    s1_ref,  # [1, L] conv1 fused BN scale
+    b1_ref,  # [1, L] conv1 fused BN bias
+    km2_ref,  # [3, 3, L, 8] conv2 mid kernel (cout=1 -> 4 slot lanes + 4 zero)
+    ke2_ref,  # [3, 3, 2*cin, 8] conv2 edge kernel
+    b2_ref,  # [1, 8] conv2 bias (lanes 0-3) | zeros
+    out_hbm,  # [B, Dg, H, W, 8]
+    raw_ref,  # VMEM [4, Dg, W+pad, L] rolling raw input rows
+    edge_ref,  # VMEM [4, Dg, W+pad, 2*cin] rolling input edge rows
+    y1_ref,  # VMEM [4, Dg, W, L] rolling conv1-OUTPUT rows (post BN+ReLU)
+    y1e_ref,  # VMEM [4, Dg, W, 2*cin] rolling conv1-output edge rows
+    ob_ref,  # VMEM [2, Dg, W, 8] output staging
+    in_sem,  # DMA sems (4,)
+    out_sem,  # DMA sems (2,)
+    *,
+    cin: int,
+    out_dtype,
+):
+    """Classification-head cascade: conv1 (grouped stride-1 3^3 conv + BN
+    fold + ReLU) and conv2 (grouped 3^3 conv Cout=1 + bias) computed
+    back-to-back per H-row — the 32-channel intermediate NEVER leaves VMEM.
+    Kills the two known losses of the XLA exit conv (round-4 verdict weak
+    #1): the Cout=1 conv XLA runs at 0.9 TF/s, and the full-volume HBM
+    round trip of the conv1 activation."""
+    bi = pl.program_id(0)
+    dg = raw_ref.shape[1]
+    w = y1_ref.shape[2]
+    l = raw_ref.shape[3]
+    h = out_hbm.shape[2]
+
+    def in_dma(r):
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, :, r], raw_ref.at[jax.lax.rem(r, 4)],
+            in_sem.at[jax.lax.rem(r, 4)],
+        )
+
+    def out_dma(r):
+        return pltpu.make_async_copy(
+            ob_ref.at[jax.lax.rem(r, 2)], out_hbm.at[bi, :, r],
+            out_sem.at[jax.lax.rem(r, 2)],
+        )
+
+    def build_edge(r):
+        s = jax.lax.rem(r, 4)
+        x = raw_ref[s]
+        z = jnp.zeros_like(x[:1, :, :cin])
+        prev_last = jnp.concatenate([z, x[:-1, :, -cin:]], axis=0)
+        next_first = jnp.concatenate([x[1:, :, :cin], z], axis=0)
+        edge_ref[s] = jnp.concatenate([prev_last, next_first], axis=-1)
+
+    def conv1_row(j):
+        """conv1 output row j (uses padded raw rows j..j+2, already built);
+        stores post-activation into y1/y1e ring slot j%4."""
+        acc = jnp.zeros((dg * w, l), jnp.float32)
+        for dh in range(3):
+            s = jax.lax.rem(j + dh, 4)
+            xm = raw_ref[s]
+            xe = edge_ref[s]
+            for dw in range(3):
+                am = xm[:, dw : dw + w, :].reshape(dg * w, l)
+                ae = xe[:, dw : dw + w, :].reshape(dg * w, 2 * cin)
+                acc = acc + jax.lax.dot_general(
+                    am, km1_ref[dh, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + jax.lax.dot_general(
+                    ae, ke1_ref[dh, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        y = jnp.maximum(acc * s1_ref[0] + b1_ref[0], 0.0)
+        y = y.reshape(dg, w, l).astype(out_dtype)
+        sj = jax.lax.rem(j, 4)
+        y1_ref[sj] = y
+        z = jnp.zeros_like(y[:1, :, :cin])
+        prev_last = jnp.concatenate([z, y[:-1, :, -cin:]], axis=0)
+        next_first = jnp.concatenate([y[1:, :, :cin], z], axis=0)
+        y1e_ref[sj] = jnp.concatenate([prev_last, next_first], axis=-1)
+
+    def zero_y1(slot):
+        y1_ref[slot] = jnp.zeros_like(y1_ref[0])
+        y1e_ref[slot] = jnp.zeros_like(y1e_ref[0])
+
+    # prologue: 4 raw rows in flight; rows 0-2 waited+built; y1 row 0
+    # computed (row i+1 is computed inside iteration i — raw row 3 is
+    # waited there); the virtual y1 row -1 (conv2's top H zero-pad) =
+    # zeroed ring slot 3
+    in_dma(0).start()
+    in_dma(1).start()
+    in_dma(2).start()
+    in_dma(3).start()
+    in_dma(0).wait()
+    build_edge(0)
+    in_dma(1).wait()
+    build_edge(1)
+    in_dma(2).wait()
+    build_edge(2)
+    zero_y1(3)
+    conv1_row(0)
+
+    def loop(i, _):
+        # prefetch raw row i+4 FIRST (slot (i+4)%4 held row i, dead now:
+        # conv1 row i+1 this iteration reads raw i+1..i+3)
+        @pl.when(i + 4 <= h + 1)
+        def _():
+            in_dma(i + 4).start()
+
+        # conv1 row i+1 (rows 0..h-1 exist; i+1 == h -> zero slot instead:
+        # the virtual y1 row h is conv2's bottom H zero-pad)
+        @pl.when(i + 1 < h)
+        def _():
+            in_dma(i + 3).wait()
+            build_edge(i + 3)
+            conv1_row(i + 1)
+
+        @pl.when(i + 1 == h)
+        def _():
+            zero_y1(jax.lax.rem(i + 1, 4))
+
+        # conv2 cost row i from y1 rows i-1, i, i+1
+        acc = jnp.zeros((dg * w, 8), jnp.float32)
+        for dh in range(3):
+            s = jax.lax.rem(i - 1 + dh, 4)
+            ym = y1_ref[s]  # [Dg, W, L]
+            ye = y1e_ref[s]  # [Dg, W, 2*cin]
+            zm = jnp.zeros_like(ym[:, :1])
+            ze = jnp.zeros_like(ye[:, :1])
+            ymp = jnp.concatenate([zm, ym, zm], axis=1)  # W zero-pad (values)
+            yep = jnp.concatenate([ze, ye, ze], axis=1)
+            for dw in range(3):
+                am = ymp[:, dw : dw + w, :].reshape(dg * w, l)
+                ae = yep[:, dw : dw + w, :].reshape(dg * w, 2 * cin)
+                acc = acc + jax.lax.dot_general(
+                    am, km2_ref[dh, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + jax.lax.dot_general(
+                    ae, ke2_ref[dh, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        cost = acc + b2_ref[0]
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2).wait()
+
+        ob_ref[jax.lax.rem(i, 2)] = cost.reshape(dg, w, 8).astype(out_dtype)
+        out_dma(i).start()
+        return 0
+
+    jax.lax.fori_loop(0, h, loop, 0)
+
+    @pl.when(h >= 2)
+    def _():
+        out_dma(h - 2).wait()
+
+    out_dma(h - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gband_classif_head(
+    xg: jax.Array,
+    k1: jax.Array,
+    scale1: jax.Array,
+    bias1: jax.Array,
+    k2: jax.Array,
+    bias2: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused grouped classification head (reference classif_N: convbn_3d
+    C->C + ReLU, then conv3d C->1 with bias — SURVEY.md 2.1 M5).
+
+    xg: [B, Dg, H, W, 4*C]; k1: [3,3,3,C,C]; scale1/bias1: [C] (BN eval
+    fold); k2: [3,3,3,C,1]; bias2: [1]. Returns the grouped cost
+    [B, Dg, H, W, 4] == ``grouped_conv3d(relu(grouped_conv3d(xg, k1)*s+b),
+    k2) + bias2`` (tests/test_pallas_gband.py; on-chip gate
+    benchmarks/run_tpu_checks.py). Requires W % 8 == 0 (the rolling output
+    DMA) — callers fall back to the module chain otherwise.
+    """
+    b, dg, h, w, l = xg.shape
+    kd, kh_, kw, cin, cout = k1.shape
+    assert kd == kh_ == kw == 3 and cout == cin and l == 4 * cin, (k1.shape, l)
+    assert k2.shape == (3, 3, 3, cin, 1), k2.shape
+    assert w % 8 == 0, w
+
+    khalo1 = halo_kernel_s1(k1, 4).reshape(3, 3, 6 * cin, l)
+    km1 = khalo1[:, :, cin : cin + l, :].astype(xg.dtype)
+    ke1 = jnp.concatenate(
+        [khalo1[:, :, :cin, :], khalo1[:, :, cin + l :, :]], axis=2
+    ).astype(xg.dtype)
+    s1 = tile_channels(scale1.astype(jnp.float32), 4).reshape(1, l)
+    b1 = tile_channels(bias1.astype(jnp.float32), 4).reshape(1, l)
+    khalo2 = jnp.pad(
+        halo_kernel_s1(k2, 4).reshape(3, 3, 6 * cin, 4), ((0, 0),) * 3 + ((0, 4),)
+    )  # N 4 -> 8 lanes (zero): friendlier vreg tiling than a 4-lane output
+    km2 = khalo2[:, :, cin : cin + l, :].astype(xg.dtype)
+    ke2 = jnp.concatenate(
+        [khalo2[:, :, :cin, :], khalo2[:, :, cin + l :, :]], axis=2
+    ).astype(xg.dtype)
+    b2 = jnp.pad(jnp.tile(bias2.astype(jnp.float32), 4), (0, 4)).reshape(1, 8)
+
+    interp = _interpret() if interpret is None else interpret
+    wpad = (-(w + 2)) % 8
+    xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_gband_classif_kernel, cin=cin, out_dtype=xg.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, dg, h, w, 8), xg.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, dg, w + 2 + wpad, l), xg.dtype),
+            pltpu.VMEM((4, dg, w + 2 + wpad, 2 * cin), xg.dtype),
+            pltpu.VMEM((4, dg, w, l), xg.dtype),
+            pltpu.VMEM((4, dg, w, 2 * cin), xg.dtype),
+            pltpu.VMEM((2, dg, w, 8), xg.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interp,
+    )(xp, km1, ke1, s1, b1, km2, ke2, b2)
+    return out[..., :4]
+
+
+def gband_classif_reference(
+    xg: jax.Array,
+    k1: jax.Array,
+    scale1: jax.Array,
+    bias1: jax.Array,
+    k2: jax.Array,
+    bias2: jax.Array,
+) -> jax.Array:
+    """jnp reference for the fused classification head."""
+    from ecm_tpu.ops.grouped3d import grouped_conv3d
+
+    y = gband_reference(xg, k1, scale1, bias1, g=4, relu=True)
+    cost = grouped_conv3d(y, k2.astype(y.dtype), 1, g=4, impl="banded")
+    return (
+        cost.astype(jnp.float32) + jnp.tile(bias2.astype(jnp.float32), 4)
+    ).astype(xg.dtype)
+
+
 def gband_down_reference(
     xg: jax.Array,
     kernel: jax.Array,

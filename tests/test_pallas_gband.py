@@ -143,3 +143,40 @@ def test_gconvbn_gband_dispatch_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y_train_on), np.asarray(y_train_off), atol=1e-6
     )
+
+
+def test_gband_classif_head_matches_reference():
+    from ecm_tpu.ops.pallas_gband import (
+        gband_classif_head,
+        gband_classif_reference,
+    )
+
+    xg = to_grouped(_arr(2, 12, 6, 16, 6), 4)  # W=16 (8-aligned)
+    k1 = _arr(3, 3, 3, 6, 6) * 0.2
+    k2 = _arr(3, 3, 3, 6, 1) * 0.2
+    scale1 = jnp.abs(_arr(6)) + 0.5
+    bias1 = _arr(6) * 0.1
+    bias2 = _arr(1) * 0.1
+    out = gband_classif_head(xg, k1, scale1, bias1, k2, bias2)
+    ref = gband_classif_reference(xg, k1, scale1, bias1, k2, bias2)
+    assert out.shape == ref.shape == (2, 3, 6, 16, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_classif_head_cascade_dispatch_matches_module(monkeypatch):
+    """ClassifHead grouped-eval cascade == the module chain (GConvBN+GConv3D)."""
+    import ecm_tpu.models.grouped_layers as gl
+    from ecm_tpu.models.aggregation import ClassifHead
+
+    xg = to_grouped(_arr(1, 12, 6, 16, 3), 4)  # C == head channels (square)
+    head = ClassifHead(channels=3, layout="grouped")
+    vars_ = head.init({"params": jax.random.PRNGKey(0)}, xg, train=True)
+    vars_ = {
+        "params": vars_["params"],
+        "batch_stats": vars_.get("batch_stats", {}),
+    }
+    ref = head.apply(vars_, xg, train=False)
+    monkeypatch.setattr(gl, "_GBAND_DEFAULT", "on")
+    out = head.apply(vars_, xg, train=False)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
