@@ -97,17 +97,24 @@ class Hourglass(nn.Module):
             conv4 = ConvBN(2 * c, strides=1, relu=True, dtype=dt, name="conv4")
             conv5 = ConvTransposeBN(2 * c, relu=False, dtype=dt, name="conv5")
             conv6 = ConvTransposeBN(c, relu=False, dtype=dt, name="conv6")
-        out = conv1(x, train)
-        pre = conv2(out, train)
+        # per-stage disp/data sharding re-constraints: GSPMD drops the disp
+        # axis through this block otherwise and silently replicates the
+        # convs over it (benchmarks/SHARD_DIAG.json — the (4,2) mesh's
+        # 0.449 partition efficiency was replicated compute, not comms);
+        # no-ops without an active mesh
+        from ecm_tpu.parallel.sharding import constrain_volume as _cv
+
+        out = _cv(conv1(x, train))
+        pre = _cv(conv2(out, train))
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
         else:
             pre = nn.relu(pre)
         out = conv3(pre, train)
-        out = conv4(out, train)
-        post = conv5(out, train)
+        out = _cv(conv4(out, train))
+        post = _cv(conv5(out, train))
         post = nn.relu(post + (presqu if presqu is not None else pre))
-        out = conv6(post, train)
+        out = _cv(conv6(post, train))
         return out, pre, post
 
 
@@ -134,7 +141,6 @@ class ClassifHead(nn.Module):
             if (
                 not train
                 and _gband_enabled()
-                and x.shape[3] % 8 == 0  # rolling output DMA alignment
                 and self.has_variable("params", "conv1")
             ):
                 # fused cascade kernel: conv1 + conv2 per row, the 32-ch
@@ -302,19 +308,22 @@ class ECMAggregation(nn.Module):
                 y, *self._fold_convbn("dres1_2"), relu=False, add=x
             )
         else:
+            from ecm_tpu.parallel.sharding import constrain_volume as _cv
+
             if grouped:
                 from ecm_tpu.models.grouped_layers import GConvBN as _CBN
             else:
                 _CBN = ConvBN
-            # dres0: 2x 3D convBN-ReLU, 2C -> C
-            x = _CBN(c, relu=True, dtype=dt, name="dres0_1")(volume, train)
-            x = _CBN(c, relu=True, dtype=dt, name="dres0_2")(x, train)
+            # dres0: 2x 3D convBN-ReLU, 2C -> C (per-stage sharding
+            # re-constraints: see Hourglass.__call__ / SHARD_DIAG.json)
+            x = _cv(_CBN(c, relu=True, dtype=dt, name="dres0_1")(volume, train))
+            x = _cv(_CBN(c, relu=True, dtype=dt, name="dres0_2")(x, train))
             cm0 = ctx(0, "context0")
             if cm0 is not None:
                 x = cm0(ctx2d, x, train)
             # dres1: residual (convBN-ReLU, convBN) + x
-            y = _CBN(c, relu=True, dtype=dt, name="dres1_1")(x, train)
-            y = _CBN(c, relu=False, dtype=dt, name="dres1_2")(y, train)
+            y = _cv(_CBN(c, relu=True, dtype=dt, name="dres1_1")(x, train))
+            y = _cv(_CBN(c, relu=False, dtype=dt, name="dres1_2")(y, train))
             cost0 = y + x
 
         hg_cls = nn.remat(Hourglass) if self.remat else Hourglass
@@ -334,7 +343,9 @@ class ECMAggregation(nn.Module):
             if i == 0:
                 pre1 = pre
             post_prev = post
-            out = out + cost0
+            from ecm_tpu.parallel.sharding import constrain_volume as _cv2
+
+            out = _cv2(out + cost0)
             outs.append(out)
             inp = out
 
@@ -363,10 +374,12 @@ class ECMAggregation(nn.Module):
             if train and prev_cost is not None:
                 cost = cost + prev_cost
             prev_cost = cost if train else None
+            from ecm_tpu.parallel.sharding import constrain_volume as _cvc
+
             if grouped:
                 from ecm_tpu.ops.grouped3d import ungroup_cost
 
-                costs.append(ungroup_cost(cost))  # [B, D, H/4, W/4]
+                costs.append(_cvc(ungroup_cost(cost)))  # [B, D, H/4, W/4]
             else:
-                costs.append(jnp.squeeze(cost, axis=-1))  # [B, D, H/4, W/4]
+                costs.append(_cvc(jnp.squeeze(cost, axis=-1)))
         return costs

@@ -50,27 +50,30 @@ class FeatureExtraction(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from ecm_tpu.parallel.sharding import constrain_features as _cf
+
         dt = self.dtype
         x = x.astype(dt)
         # firstconv: 3x (3x3 conv-BN-ReLU), first stride 2  (H -> H/2)
         x = ConvBN(32, strides=2, dtype=dt, name="firstconv1")(x, train)
         x = ConvBN(32, strides=1, dtype=dt, name="firstconv2")(x, train)
-        x = ConvBN(32, strides=1, dtype=dt, name="firstconv3")(x, train)
+        x = _cf(ConvBN(32, strides=1, dtype=dt, name="firstconv3")(x, train))
         # layer1: 3x BasicBlock 32ch stride 1
         for i in range(3):
             x = BasicBlock(32, dtype=dt, name=f"layer1_{i}")(x, train)
         # layer2: 16x BasicBlock 64ch, first stride 2  (H/2 -> H/4)
-        x = BasicBlock(64, strides=2, dtype=dt, name="layer2_0")(x, train)
+        x = _cf(BasicBlock(64, strides=2, dtype=dt, name="layer2_0")(x, train))
         for i in range(1, self.num_layer2_blocks):
             x = BasicBlock(64, dtype=dt, name=f"layer2_{i}")(x, train)
-        raw = x  # 64ch skip into the fusion concat
+        raw = _cf(x)  # 64ch skip into the fusion concat
+        x = raw
         # layer3: 3x BasicBlock 128ch dilation 2
         for i in range(3):
             x = BasicBlock(128, dilation=2, dtype=dt, name=f"layer3_{i}")(x, train)
         # layer4: 3x BasicBlock 128ch dilation 4
         for i in range(3):
             x = BasicBlock(128, dilation=4, dtype=dt, name=f"layer4_{i}")(x, train)
-        skip = x  # 128ch
+        skip = _cf(x)  # 128ch
         # SPP: 4 pooling branches, 32ch each
         branches = [
             SPPBranch(pool=p, dtype=dt, name=f"branch{p}")(x, train)
@@ -88,4 +91,4 @@ class FeatureExtraction(nn.Module):
             param_dtype=jnp.float32,
             name="lastconv2",
         )(fused)
-        return fused
+        return _cf(fused)

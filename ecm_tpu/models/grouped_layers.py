@@ -100,6 +100,28 @@ class GConv3D(nn.Module):
         kernel = self.param(
             "kernel", conv_init, (3, 3, 3, cin, self.features), jnp.float32
         )
+        if (
+            self.strides == 1
+            and self.groups == 4
+            and 4 * self.features == 128  # kernel output-DMA lane width
+            and _gband_train_enabled()
+        ):
+            # training/autodiff path: Pallas gband forward + hand VJP
+            # (input-grad = gband conv of dy with the flipped-transposed
+            # kernel; weight-grad = XLA banded weight-grad) — see
+            # ops/pallas_gband.gband_conv_s1
+            from ecm_tpu.ops.pallas_gband import gband_conv_s1
+
+            out = gband_conv_s1(
+                xg.astype(self.dtype), kernel.astype(self.dtype), 4
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros_init(), (self.features,),
+                    jnp.float32,
+                )
+                out = out + tile_channels(bias, self.groups).astype(out.dtype)
+            return out
         out = grouped_conv3d(
             xg.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -131,6 +153,21 @@ def _gband_enabled() -> bool:
     if _GBAND_DEFAULT == "on":
         return True
     if _GBAND_DEFAULT == "auto":
+        return jax.default_backend() == "tpu"
+    return False
+
+
+# Train-path gband dispatch (GConv3D -> gband_conv_s1 custom VJP). Same
+# policy discipline as _GBAND_DEFAULT: may default to "auto" only with the
+# on-chip gate green and a committed TRAIN_BENCH/TRAIN_BREAKDOWN artifact
+# showing the custom-VJP path winning end-to-end.
+_GBAND_TRAIN_DEFAULT = _os.environ.get("ECM_TPU_GBAND_TRAIN", "off")
+
+
+def _gband_train_enabled() -> bool:
+    if _GBAND_TRAIN_DEFAULT == "on":
+        return True
+    if _GBAND_TRAIN_DEFAULT == "auto":
         return jax.default_backend() == "tpu"
     return False
 

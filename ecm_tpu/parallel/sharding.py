@@ -85,6 +85,20 @@ def constrain_volume(vol: jax.Array) -> jax.Array:
     return _constrain(vol, spec)
 
 
+def constrain_features(x: jax.Array) -> jax.Array:
+    """Shard 2D feature maps ``[B, H, W, C]``: batch over ``data``, width
+    over ``disp``. Without this the whole siamese feature extractor is
+    REPLICATED over the disp axis (GSPMD has no disparity dim to propagate
+    into it) — measured as the residual partition-efficiency loss at mesh
+    (4,2) after the volume-side constraints landed (SHARD_DIAG.json). The
+    cost-volume builder's disparity shifts then cost one small feature
+    all-gather (~MBs) instead of replicating tens of 2D convs."""
+    mesh = active_mesh()
+    if mesh is None or x.ndim != 4:
+        return x
+    return _constrain(x, PS("data", None, "disp", None))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for host->device batches: leading (batch) dim over ``data``."""
     return NamedSharding(mesh, PS("data"))

@@ -180,3 +180,58 @@ def test_classif_head_cascade_dispatch_matches_module(monkeypatch):
     out = head.apply(vars_, xg, train=False)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("g,cin,cout", [(4, 6, 5), (4, 8, 8)])
+def test_gband_conv_s1_vjp_matches_autodiff(g, cin, cout):
+    """Training custom VJP: forward, input-grad and weight-grad of
+    gband_conv_s1 == XLA autodiff of the banded grouped conv."""
+    from ecm_tpu.ops.grouped3d import grouped_conv3d
+    from ecm_tpu.ops.pallas_gband import gband_conv_s1
+
+    xg = to_grouped(_arr(2, 4 * g, 5, 8, cin), g)
+    k = _arr(3, 3, 3, cin, cout)
+    dy = to_grouped(_arr(2, 4 * g, 5, 8, cout), g)
+
+    def f_ref(xg, k):
+        return grouped_conv3d(xg, k, 1, g=g, impl="banded")
+
+    def f_new(xg, k):
+        return gband_conv_s1(xg, k, g)
+
+    out_ref, pull_ref = jax.vjp(f_ref, xg, k)
+    out_new, pull_new = jax.vjp(f_new, xg, k)
+    np.testing.assert_allclose(
+        np.asarray(out_new), np.asarray(out_ref), atol=1e-4, rtol=1e-4
+    )
+    dx_ref, dk_ref = pull_ref(dy)
+    dx_new, dk_new = pull_new(dy)
+    np.testing.assert_allclose(
+        np.asarray(dx_new), np.asarray(dx_ref), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dk_new), np.asarray(dk_ref), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_gconv3d_train_dispatch_matches_xla(monkeypatch):
+    """GConv3D with the train-path gband VJP forced on: same forward and
+    same parameter gradients as the XLA banded chain."""
+    import ecm_tpu.models.grouped_layers as gl
+    from ecm_tpu.models.grouped_layers import GConv3D
+
+    xg = to_grouped(_arr(2, 16, 6, 8, 6), 4)
+    m = GConv3D(8, strides=1, groups=4)
+    v = m.init({"params": jax.random.PRNGKey(0)}, xg)
+
+    def loss(params, mod):
+        return jnp.sum(mod.apply({"params": params}, xg) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(v["params"], m)
+    monkeypatch.setattr(gl, "_GBAND_TRAIN_DEFAULT", "on")
+    l_new, g_new = jax.value_and_grad(loss)(v["params"], m)
+    np.testing.assert_allclose(float(l_new), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_new["kernel"]), np.asarray(g_ref["kernel"]),
+        atol=1e-3, rtol=1e-3,
+    )
