@@ -86,6 +86,32 @@ def check_cost_volume(results: dict) -> None:
             f"{t_pal * 1e3:.2f} ms ({t_ref / t_pal:.2f}x), write-bw {bw:.0f} GB/s"
         )
 
+    # grouped (disparity-folded) emission — what the real TPU model consumes
+    from ecm_tpu.ops.cost_volume import cost_volume_grouped_jnp
+    from ecm_tpu.ops.pallas_cost_volume import cost_volume_concat_grouped_pallas
+
+    refg = cost_volume_grouped_jnp(fl, fr, D, "concat")
+    outg = cost_volume_concat_grouped_pallas(fl, fr, D)
+    np.testing.assert_allclose(
+        np.asarray(outg), np.asarray(refg), rtol=1e-6, atol=1e-6
+    )
+    t_refg = timeit(lambda a, b: cost_volume_grouped_jnp(a, b, D, "concat").sum(),
+                    fl, fr)
+    t_palg = timeit(
+        lambda a, b: cost_volume_concat_grouped_pallas(a, b, D).sum(), fl, fr
+    )
+    bwg = np.prod(refg.shape) * 4 / t_palg / 1e9
+    results["cost_volume_grouped"] = {
+        "match": True,
+        "jnp_ms": round(t_refg * 1e3, 3),
+        "pallas_ms": round(t_palg * 1e3, 3),
+        "pallas_write_gbps": round(bwg, 1),
+    }
+    print(
+        f"cost_volume/grouped: MATCH. jnp {t_refg * 1e3:.2f} ms, pallas "
+        f"{t_palg * 1e3:.2f} ms ({t_refg / t_palg:.2f}x), write-bw {bwg:.0f} GB/s"
+    )
+
     # gradient parity compiled
     def loss_p(fl, fr):
         return jnp.sum(cost_volume_pallas(fl, fr, D, mode="concat") ** 2)

@@ -1,6 +1,7 @@
 """Config-2 training-step throughput on the real chip (round-2 verdict ask
 #6): SceneFlow training shape — batch 4, 256x512 crop, max-disp 192, bf16
-activations + remat — full train step (3-head masked smooth-L1 loss,
+activations, remat off (the measured config-2 preset setting,
+TRAIN_BREAKDOWN_ON.json) — full train step (3-head masked smooth-L1 loss,
 backward, Adam update, BN stat update).
 
 Writes benchmarks/TRAIN_BENCH.json (git-stamped): per-layout step time,
@@ -41,7 +42,9 @@ def bench_layout(layout: str, batches: list) -> dict:
         max_disp=MAXD,
         dtype=jnp.bfloat16,
         agg_layout=layout,
-        remat=True,
+        # config-2 preset setting: remat off by measurement at this shape
+        # (TRAIN_BREAKDOWN_ON.json; activations fit the v5e at batch 4)
+        remat=False,
     )
     state = create_train_state(
         model, jax.random.PRNGKey(0), (H, W, 3), make_optimizer(1e-3), BATCH

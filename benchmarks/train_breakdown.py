@@ -162,18 +162,21 @@ def main() -> None:
         }
         for _ in range(WARMUP + 3)
     ]
+    gband = os.environ.get("ECM_TPU_GBAND_TRAIN", "off")
     out = {
         "git": subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
         ).stdout.strip(),
         "config": f"{H}x{W} b{BATCH} d{MAXD} bf16 grouped",
+        "gband_train": gband,
         "device": str(jax.devices()[0]),
     }
     for remat in (True, False):
         key = "remat" if remat else "no_remat"
         out[key] = bench_variant(remat, batches)
         print(key, json.dumps(out[key]))
-    path = os.path.join(os.path.dirname(__file__), "TRAIN_BREAKDOWN.json")
+    suffix = "" if gband in ("off", "") else f"_{gband.upper()}"
+    path = os.path.join(os.path.dirname(__file__), f"TRAIN_BREAKDOWN{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("->", path)

@@ -94,8 +94,13 @@ CONFIGS: dict[str, ExperimentConfig] = {
         data=DataConfig(dataset="kitti2015", global_batch=1),
         train=TrainConfig(num_steps=0),
     ),
-    # 2) SceneFlow FlyingThings3D subset, batch 4, single chip
+    # 2) SceneFlow FlyingThings3D subset, batch 4, single chip.
+    # remat off BY MEASUREMENT at exactly this shape (256x512 b4 d192,
+    # benchmarks/TRAIN_BREAKDOWN_ON.json): 18.09 vs 16.30 pairs/s — the
+    # activations fit the v5e at batch 4, so remat is pure recompute
+    # overhead here. Larger per-device batches (configs 3/5) keep it on.
     "sceneflow_single": ExperimentConfig(
+        model=ModelConfig(remat=False),
         data=DataConfig(dataset="sceneflow", global_batch=4),
         train=TrainConfig(num_steps=20_000),
     ),
@@ -126,6 +131,20 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # an unbounded fresh stream would test task-learning speed instead
     "overfit_gate": ExperimentConfig(
         model=ModelConfig(max_disp=48, bf16=False),
+        data=DataConfig(
+            dataset="synthetic",
+            global_batch=2,
+            crop=(128, 256),
+            synthetic_distinct=4,
+        ),
+        train=TrainConfig(num_steps=600, log_every=50, ckpt_every=10_000),
+    ),
+    # same gate in the PRODUCTION TPU training layout (round-4 verdict ask
+    # #6b: d48/f32 forces the standard layout, so the default bf16+grouped
+    # configuration had no end-to-end convergence gate). max_disp 64 ->
+    # D/4 = 16, the smallest grouped-eligible disparity.
+    "overfit_gate_grouped": ExperimentConfig(
+        model=ModelConfig(max_disp=64, bf16=True, agg_layout="grouped"),
         data=DataConfig(
             dataset="synthetic",
             global_batch=2,

@@ -161,7 +161,12 @@ def _gband_enabled() -> bool:
 # policy discipline as _GBAND_DEFAULT: may default to "auto" only with the
 # on-chip gate green and a committed TRAIN_BENCH/TRAIN_BREAKDOWN artifact
 # showing the custom-VJP path winning end-to-end.
-_GBAND_TRAIN_DEFAULT = _os.environ.get("ECM_TPU_GBAND_TRAIN", "off")
+# Default "auto" BY MEASUREMENT (benchmarks/TRAIN_BREAKDOWN{,_ON}.json,
+# config-2 shape on the v5e): full train step 12.98 -> 16.30 pairs/s with
+# remat (fwd 82.9 -> 73.7 ms, bwd-fwd 224 -> 171 ms), 14.33 -> 18.09
+# without; grad parity vs the XLA banded chain is tested in f32 AND bf16
+# (tests/test_pallas_gband.py::test_gband_conv_s1_vjp_matches_autodiff).
+_GBAND_TRAIN_DEFAULT = _os.environ.get("ECM_TPU_GBAND_TRAIN", "auto")
 
 
 def _gband_train_enabled() -> bool:

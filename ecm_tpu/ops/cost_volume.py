@@ -139,6 +139,12 @@ def cost_volume(
         measures faster than any standard-layout path).
     """
     if grouped:
+        if use_pallas and mode == "concat":
+            from ecm_tpu.ops.pallas_cost_volume import (
+                cost_volume_concat_grouped_pallas,
+            )
+
+            return cost_volume_concat_grouped_pallas(fl, fr, max_disp)
         return cost_volume_grouped_jnp(fl, fr, max_disp, mode=mode)
     if use_pallas:
         from ecm_tpu.ops.pallas_cost_volume import cost_volume_pallas

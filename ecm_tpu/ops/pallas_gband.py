@@ -908,7 +908,12 @@ def _gband_conv_s1_bwd(g, res, dy):
     dx = gband_conv_bn_s1(dy, k_rev, one, zero, g=g, relu=False)
 
     # weight grad: transpose of the banded XLA conv w.r.t. its (expanded)
-    # kernel, then the adjoint of the band expansion back to canonical
+    # kernel, then the adjoint of the band expansion back to canonical.
+    # The closure stays in the NATIVE dtype throughout (no
+    # preferred_element_type/astype): a mixed-precision epilogue makes the
+    # transposed conv see an f32 cotangent against bf16 activations and
+    # conv_general_dilated rejects the dtype mix; the MXU still accumulates
+    # the reduction in f32 before the single store-rounding.
     kg_spec = jax.ShapeDtypeStruct((3, 3, 3, g * ci, g * co), k.dtype)
 
     def banded(kg):
@@ -918,15 +923,14 @@ def _gband_conv_s1_bwd(g, res, dy):
             window_strides=(1, 1, 1),
             padding=((1, 1),) * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(xg.dtype)
+        )
 
     (dkg,) = jax.linear_transpose(banded, kg_spec)(dy)
-    sel = jnp.asarray(_band_selector(g, 1), dkg.dtype)
+    sel = jnp.asarray(_band_selector(g, 1), jnp.float32)
     dk = jnp.einsum(
         "dpqz,dhwpiqo->zhwio",
         sel,
-        dkg.reshape(3, 3, 3, g, ci, g, co),
+        dkg.astype(jnp.float32).reshape(3, 3, 3, g, ci, g, co),
     ).astype(k.dtype)
     return dx, dk
 

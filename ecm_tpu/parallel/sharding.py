@@ -23,6 +23,7 @@ identity, so single-device paths pay nothing.
 from __future__ import annotations
 
 import contextlib
+import os as _os
 import threading
 from collections.abc import Sequence
 
@@ -31,6 +32,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 _state = threading.local()
+
+# constrain_features A/B gate (see its docstring); read once at import so
+# jit bakes the choice into the trace
+_SHARD_FEATURES = _os.environ.get("ECM_TPU_SHARD_FEATURES", "1") != "0"
 
 
 def make_mesh(
@@ -92,9 +97,10 @@ def constrain_features(x: jax.Array) -> jax.Array:
     into it) — measured as the residual partition-efficiency loss at mesh
     (4,2) after the volume-side constraints landed (SHARD_DIAG.json). The
     cost-volume builder's disparity shifts then cost one small feature
-    all-gather (~MBs) instead of replicating tens of 2D convs."""
+    all-gather (~MBs) instead of replicating tens of 2D convs.
+    A/B-gated by ECM_TPU_SHARD_FEATURES (read at import)."""
     mesh = active_mesh()
-    if mesh is None or x.ndim != 4:
+    if mesh is None or x.ndim != 4 or not _SHARD_FEATURES:
         return x
     return _constrain(x, PS("data", None, "disp", None))
 

@@ -92,3 +92,48 @@ class TestCorrelationKernel:
         )(fl, fr)
         for a, b in zip(gp, gj):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestGroupedConcatKernel:
+    def test_exact_match_vs_grouped_jnp(self, feats):
+        from ecm_tpu.ops.cost_volume import cost_volume_grouped_jnp
+        from ecm_tpu.ops.pallas_cost_volume import (
+            cost_volume_concat_grouped_pallas,
+        )
+
+        fl, fr = feats
+        ref = cost_volume_grouped_jnp(fl, fr, D, "concat")
+        out = cost_volume_concat_grouped_pallas(fl, fr, D)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_grad_matches_grouped_jnp(self, feats):
+        from ecm_tpu.ops.cost_volume import cost_volume_grouped_jnp
+        from ecm_tpu.ops.pallas_cost_volume import (
+            cost_volume_concat_grouped_pallas,
+        )
+
+        fl, fr = feats
+
+        def loss(fn):
+            def f(fl, fr):
+                v = fn(fl, fr)
+                return jnp.sum(
+                    v * jnp.sin(jnp.arange(v.size).reshape(v.shape) * 0.01)
+                )
+
+            return jax.grad(f, argnums=(0, 1))(fl, fr)
+
+        gp = loss(lambda a, b: cost_volume_concat_grouped_pallas(a, b, D))
+        gj = loss(lambda a, b: cost_volume_grouped_jnp(a, b, D, "concat"))
+        for a, b in zip(gp, gj):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+    def test_dispatch_via_cost_volume(self, feats):
+        from ecm_tpu.ops.cost_volume import cost_volume, cost_volume_grouped_jnp
+
+        fl, fr = feats
+        ref = cost_volume_grouped_jnp(fl, fr, D, "concat")
+        out = cost_volume(fl, fr, D, mode="concat", use_pallas=True, grouped=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -182,16 +182,18 @@ def test_classif_head_cascade_dispatch_matches_module(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("g,cin,cout", [(4, 6, 5), (4, 8, 8)])
-def test_gband_conv_s1_vjp_matches_autodiff(g, cin, cout):
+def test_gband_conv_s1_vjp_matches_autodiff(g, cin, cout, dtype):
     """Training custom VJP: forward, input-grad and weight-grad of
-    gband_conv_s1 == XLA autodiff of the banded grouped conv."""
+    gband_conv_s1 == XLA autodiff of the banded grouped conv (f32 AND the
+    production bf16 — the weight-grad transpose must stay dtype-uniform)."""
     from ecm_tpu.ops.grouped3d import grouped_conv3d
     from ecm_tpu.ops.pallas_gband import gband_conv_s1
 
-    xg = to_grouped(_arr(2, 4 * g, 5, 8, cin), g)
-    k = _arr(3, 3, 3, cin, cout)
-    dy = to_grouped(_arr(2, 4 * g, 5, 8, cout), g)
+    xg = to_grouped(_arr(2, 4 * g, 5, 8, cin), g).astype(dtype)
+    k = _arr(3, 3, 3, cin, cout).astype(dtype)
+    dy = to_grouped(_arr(2, 4 * g, 5, 8, cout), g).astype(dtype)
 
     def f_ref(xg, k):
         return grouped_conv3d(xg, k, 1, g=g, impl="banded")
@@ -199,18 +201,24 @@ def test_gband_conv_s1_vjp_matches_autodiff(g, cin, cout):
     def f_new(xg, k):
         return gband_conv_s1(xg, k, g)
 
+    tol = dict(atol=1e-4, rtol=1e-4) if dtype == jnp.float32 else dict(
+        atol=0.15, rtol=0.05
+    )
+    ktol = dict(atol=2e-3, rtol=2e-3) if dtype == jnp.float32 else dict(
+        atol=1.5, rtol=0.05  # dk sums ~600 bf16 products; compare loosely
+    )
     out_ref, pull_ref = jax.vjp(f_ref, xg, k)
     out_new, pull_new = jax.vjp(f_new, xg, k)
     np.testing.assert_allclose(
-        np.asarray(out_new), np.asarray(out_ref), atol=1e-4, rtol=1e-4
+        np.asarray(out_new, np.float32), np.asarray(out_ref, np.float32), **tol
     )
     dx_ref, dk_ref = pull_ref(dy)
     dx_new, dk_new = pull_new(dy)
     np.testing.assert_allclose(
-        np.asarray(dx_new), np.asarray(dx_ref), atol=1e-4, rtol=1e-4
+        np.asarray(dx_new, np.float32), np.asarray(dx_ref, np.float32), **tol
     )
     np.testing.assert_allclose(
-        np.asarray(dk_new), np.asarray(dk_ref), atol=2e-3, rtol=2e-3
+        np.asarray(dk_new, np.float32), np.asarray(dk_ref, np.float32), **ktol
     )
 
 
