@@ -288,6 +288,42 @@ def check_gband(results: dict) -> None:
     results["gband_classif"] = {"rel_err": round(rel, 6), "compiles": True}
     print(f"gband_classif: Mosaic COMPILES, parity rel={rel:.2e}")
 
+    # fused grouped-emission transposed conv (hourglass conv6 exit op) —
+    # deconv + BN fold + residual add, subpixel interleave baked into the
+    # packed-kernel lane arrangement (ops/pallas_gdeconv.py)
+    from ecm_tpu.ops.pallas_gdeconv import gdeconv4_bn, gdeconv4_reference
+
+    cin, cout = 64, 32
+    x = jnp.asarray(
+        rng.normal(size=(1, 8, 8, 156, cin)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k = jnp.asarray(
+        (rng.normal(size=(3, 3, 3, cin, cout)) * 0.1).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, cout).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=cout) * 0.1).astype(np.float32))
+    addv = jnp.asarray(
+        rng.normal(size=(1, 4, 16, 312, 4 * cout)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    out = gdeconv4_bn(x, k, scale, bias, add=addv)
+    ref = gdeconv4_reference(x, k, scale, bias, add=addv)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    sc = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    rel = err / max(sc, 1e-9)
+    assert rel < 0.02, ("gdeconv4", err, sc)
+    t_pal = timeit(lambda a: gdeconv4_bn(a, k, scale, bias, add=addv).sum(), x)
+    t_ref = timeit(lambda a: gdeconv4_reference(a, k, scale, bias, add=addv).sum(), x)
+    results["gdeconv4"] = {
+        "rel_err": round(rel, 6),
+        "compiles": True,
+        "pallas_ms": round(t_pal * 1e3, 3),
+        "xla_chain_ms": round(t_ref * 1e3, 3),
+    }
+    print(
+        f"gdeconv4: Mosaic COMPILES, parity rel={rel:.2e}, "
+        f"pallas {t_pal * 1e3:.2f} ms vs xla {t_ref * 1e3:.2f} ms"
+    )
+
     # fused epilogue adds (ctx broadcast + residual) on the dres_c shape
     for alabel, dga in (("ctx", 1), ("residual", 3)):
         g, cin, cout, dg, h, w = 4, 32, 32, 3, 8, 312

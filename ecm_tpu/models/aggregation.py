@@ -33,12 +33,13 @@ from ecm_tpu.models.layers import BN_EPS, ConvBN, ConvTransposeBN, conv_init
 class Hourglass(nn.Module):
     """One 3D encoder-decoder stage (reference ``hourglass`` class).
 
-    __call__(x, presqu, postsqu) -> (out, pre, post):
+    __call__(x, presqu, postsqu, residual=None) -> (out, pre, post):
       out1  = relu(bn(conv s2 C->2C))(x)
       pre   = bn(conv 2C->2C); pre = relu(pre + postsqu) if postsqu else relu(pre)
       out   = relu(bn(conv s2 2C->2C)) |> relu(bn(conv 2C->2C))
       post  = relu(deconvbn 2C->2C + (presqu or pre))
-      out   = deconvbn 2C->C        (no relu)
+      out   = deconvbn 2C->C + residual   (no relu; residual = the caller's
+              ``out_i + cost0``, fused into the grouped Pallas gdeconv)
 
     ``train`` is a module attribute (not a call arg) so ``nn.remat`` needs no
     static_argnums; in ``nn.compact`` parents the module is rebuilt per call,
@@ -59,6 +60,7 @@ class Hourglass(nn.Module):
         x: jax.Array,
         presqu: jax.Array | None,
         postsqu: jax.Array | None,
+        residual: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         c = self.channels
         dt = self.dtype
@@ -114,8 +116,15 @@ class Hourglass(nn.Module):
         out = _cv(conv4(out, train))
         post = _cv(conv5(out, train))
         post = nn.relu(post + (presqu if presqu is not None else pre))
-        out = _cv(conv6(post, train))
-        return out, pre, post
+        if self.layout == "grouped":
+            # residual (the caller's ``out + cost0``) fused into the conv6
+            # Pallas gdeconv epilogue on the dispatched eval path
+            out = conv6(post, train, add=residual)
+        else:
+            out = conv6(post, train)
+            if residual is not None:
+                out = out + residual
+        return _cv(out), pre, post
 
 
 class ClassifHead(nn.Module):
@@ -339,13 +348,10 @@ class ECMAggregation(nn.Module):
             postsqu = post_prev if i > 0 else None
             out, pre, post = hg_cls(
                 c, train=train, layout=self.layout, dtype=dt, name=f"hourglass{i + 1}"
-            )(inp, presqu, postsqu)
+            )(inp, presqu, postsqu, cost0)  # cost0 residual fused into conv6
             if i == 0:
                 pre1 = pre
             post_prev = post
-            from ecm_tpu.parallel.sharding import constrain_volume as _cv2
-
-            out = _cv2(out + cost0)
             outs.append(out)
             inp = out
 

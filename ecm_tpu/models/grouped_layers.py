@@ -338,7 +338,19 @@ class GDeconv3D(nn.Module):
 
 
 class GDeconvBN(nn.Module):
-    """Grouped ``ConvTransposeBN`` (k=3, s=2, p=1, op=1 — exact doubling)."""
+    """Grouped ``ConvTransposeBN`` (k=3, s=2, p=1, op=1 — exact doubling).
+
+    ``add``: optional POST-BN addend (the hourglass ``out + cost0``
+    residual), applied after the optional ReLU — fused into the Pallas
+    gdeconv epilogue on the dispatched path (saves the separate
+    full-volume read-modify-write pass).
+
+    Eval with ``_gband_enabled()`` and ``out_groups == 4`` routes through
+    ``ops.pallas_gdeconv.gdeconv4_bn``: the transposed conv, BN fold, bias,
+    and residual are computed per output group-row with the subpixel
+    interleave baked into the packed kernels' lane arrangement — no
+    relayout (the XLA phased path paid ~2.3 ms/pair per hourglass of
+    reshape+transpose, AGG_TRACE.json / round-4 verdict ask #3)."""
 
     features: int
     relu: bool = False
@@ -347,7 +359,12 @@ class GDeconvBN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xg: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        xg: jax.Array,
+        train: bool = False,
+        add: jax.Array | None = None,
+    ) -> jax.Array:
         if not train and self.has_variable("params", "deconv"):
             # eval: fold the BN scale into the (linear) transposed-conv
             # kernel, shift as a bias epilogue — removes the standalone
@@ -356,13 +373,25 @@ class GDeconvBN(nn.Module):
             s = self.variables["batch_stats"]
             scale = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + BN_EPS)
             bias = p["bn"]["bias"] - s["bn"]["mean"] * scale
-            k = (p["deconv"]["kernel"] * scale).astype(self.dtype)
             x = from_grouped(xg, self.in_groups)
+            if self.out_groups == 4 and not self.relu and _gband_enabled():
+                from ecm_tpu.ops.pallas_gdeconv import gdeconv4_bn
+
+                return gdeconv4_bn(
+                    x.astype(self.dtype),
+                    p["deconv"]["kernel"].astype(self.dtype),
+                    scale,
+                    bias,
+                    add=add,
+                )
+            k = (p["deconv"]["kernel"] * scale).astype(self.dtype)
             out = conv_transpose3d_phased_grouped(
                 x.astype(self.dtype), k, self.out_groups
             )
             out = out + tile_channels(bias, self.out_groups).astype(out.dtype)
-            return nn.relu(out) if self.relu else out
+            if self.relu:
+                out = nn.relu(out)
+            return out if add is None else out + add.astype(out.dtype)
         xg = GDeconv3D(
             self.features,
             in_groups=self.in_groups,
@@ -375,4 +404,4 @@ class GDeconvBN(nn.Module):
         )
         if self.relu:
             xg = nn.relu(xg)
-        return xg
+        return xg if add is None else xg + add.astype(xg.dtype)
