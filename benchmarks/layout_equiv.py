@@ -38,7 +38,10 @@ LOG_EVERY = 25
 H, W, MAXD, BATCH = 128, 256, 64, 2
 
 
-def run_layout(layout: str) -> list[dict]:
+def run_layout(layout: str, seed: int) -> tuple[list[dict], float]:
+    """Returns (every-LOG_EVERY rows, final EMA(0.98) of the per-step loss).
+    The instantaneous step loss is noisy (round-4 verdict weak #5) — the
+    EMA actually bounds the trajectory divergence."""
     from ecm_tpu.data.synthetic import make_batch
     from ecm_tpu.models import build_model
     from ecm_tpu.train.state import create_train_state, make_optimizer
@@ -46,35 +49,65 @@ def run_layout(layout: str) -> list[dict]:
 
     model = build_model("stackhourglass", max_disp=MAXD, agg_layout=layout)
     state = create_train_state(
-        model, jax.random.PRNGKey(0), (H, W, 3), make_optimizer(1e-3)
+        model, jax.random.PRNGKey(seed), (H, W, 3), make_optimizer(1e-3)
     )
     step_fn = make_train_step(model, MAXD)
     rows = []
+    ema = None
     for i in range(STEPS):
-        batch = make_batch(i, BATCH, H, W, max_disp=MAXD * 0.8)
+        batch = make_batch(seed * 1_000_000 + i, BATCH, H, W, max_disp=MAXD * 0.8)
         state, metrics = step_fn(state, batch)
+        loss = float(metrics["loss"])
+        ema = loss if ema is None else 0.98 * ema + 0.02 * loss
         if (i + 1) % LOG_EVERY == 0 or i + 1 == STEPS:
-            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            rows.append({"step": i + 1, "loss": m["loss"], "epe": m["epe"]})
-            print(layout, rows[-1], flush=True)
-    return rows
+            rows.append(
+                {
+                    "step": i + 1,
+                    "loss": loss,
+                    "loss_ema": round(ema, 4),
+                    "epe": float(metrics["epe"]),
+                }
+            )
+            print(layout, f"seed{seed}", rows[-1], flush=True)
+    return rows, ema
 
 
 def main() -> None:
-    traj = {layout: run_layout(layout) for layout in ("standard", "grouped")}
+    seeds = (0, 1)
+    traj: dict = {}
+    emas: dict = {}
+    for seed in seeds:
+        for layout in ("standard", "grouped"):
+            rows, ema = run_layout(layout, seed)
+            traj[f"{layout}_s{seed}"] = rows
+            emas[f"{layout}_s{seed}"] = ema
+    gaps = {}
+    for seed in seeds:
+        std, grp = emas[f"standard_s{seed}"], emas[f"grouped_s{seed}"]
+        gaps[f"seed{seed}"] = round(abs(std - grp) / max(abs(std), 1e-9), 4)
+    # cross-seed spread of the SAME layout bounds what "equivalent" can mean
+    seed_spread = round(
+        abs(emas["standard_s0"] - emas["standard_s1"])
+        / max(abs(emas["standard_s0"]), 1e-9),
+        4,
+    )
     finals = {k: v[-1] for k, v in traj.items()}
-    rel_final_loss_gap = abs(
-        finals["standard"]["loss"] - finals["grouped"]["loss"]
-    ) / max(abs(finals["standard"]["loss"]), 1e-9)
-    epe_gap = abs(finals["standard"]["epe"] - finals["grouped"]["epe"])
+    epe_gap = max(
+        abs(finals[f"standard_s{s}"]["epe"] - finals[f"grouped_s{s}"]["epe"])
+        for s in seeds
+    )
     out = {
         "git": subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
         ).stdout.strip(),
         "backend": jax.default_backend(),
-        "config": f"synthetic {H}x{W} d{MAXD} b{BATCH}, {STEPS} steps, shared init",
+        "config": (
+            f"synthetic {H}x{W} d{MAXD} b{BATCH}, {STEPS} steps, shared init "
+            f"per seed, seeds {list(seeds)}, EMA(0.98) of per-step loss"
+        ),
         "trajectories": traj,
-        "final_rel_loss_gap": round(rel_final_loss_gap, 4),
+        "final_ema_loss_gap_by_seed": gaps,
+        "standard_cross_seed_spread": seed_spread,
         "final_epe_gap_px": round(epe_gap, 3),
     }
     path = os.path.join(
@@ -83,9 +116,8 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(
-        f"final loss std={finals['standard']['loss']:.4f} "
-        f"grp={finals['grouped']['loss']:.4f} rel gap {rel_final_loss_gap:.4f}; "
-        f"EPE gap {epe_gap:.3f} px"
+        f"EMA loss gaps by seed: {gaps} (standard cross-seed spread "
+        f"{seed_spread}); max final EPE gap {epe_gap:.3f} px"
     )
     print("wrote", path)
 

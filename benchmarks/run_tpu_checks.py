@@ -288,6 +288,40 @@ def check_gband(results: dict) -> None:
     results["gband_classif"] = {"rel_err": round(rel, 6), "compiles": True}
     print(f"gband_classif: Mosaic COMPILES, parity rel={rel:.2e}")
 
+    # padded-flow chain (emit_padded / prepadded_w / add_padded): the
+    # dres-chain form the model dispatches at w % 8 == 0
+    g, cin, dgx, hx, wx = 4, 32, 3, 8, 312
+    xg = jnp.asarray(
+        rng.normal(size=(1, dgx, hx, wx, g * cin)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ks = [
+        jnp.asarray(
+            (rng.normal(size=(3, 3, 3, cin, cin)) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        for _ in range(3)
+    ]
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, cin).astype(np.float32))
+    bi_ = jnp.asarray((rng.normal(size=cin) * 0.1).astype(np.float32))
+    addu = jnp.asarray(
+        rng.normal(size=(1, 1, hx, wx, g * cin)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    p1 = gband_conv_bn_s1(xg, ks[0], sc, bi_, emit_padded=True)
+    p2 = gband_conv_bn_s1(
+        p1, ks[1], sc, bi_, add=addu, prepadded_w=wx, emit_padded=True
+    )
+    outp = gband_conv_bn_s1(
+        p2, ks[2], sc, bi_, relu=False, add=p1, prepadded_w=wx, add_padded=True
+    )
+    r1 = gband_reference(xg, ks[0], sc, bi_)
+    r2 = gband_reference(r1, ks[1], sc, bi_, add=addu)
+    refp = gband_reference(r2, ks[2], sc, bi_, relu=False, add=r1)
+    err = float(jnp.max(jnp.abs(outp.astype(jnp.float32) - refp.astype(jnp.float32))))
+    scm = float(jnp.max(jnp.abs(refp.astype(jnp.float32))))
+    rel = err / max(scm, 1e-9)
+    assert rel < 0.03, ("gband_padded_flow", err, scm)
+    results["gband_padded_flow"] = {"rel_err": round(rel, 6), "compiles": True}
+    print(f"gband_padded_flow: Mosaic COMPILES, chain parity rel={rel:.2e}")
+
     # fused grouped-emission transposed conv (hourglass conv6 exit op) —
     # deconv + BN fold + residual add, subpixel interleave baked into the
     # packed-kernel lane arrangement (ops/pallas_gdeconv.py)

@@ -140,12 +140,22 @@ def run_mesh(data: int, disp: int, t_per_sample_base: float | None) -> dict:
 
 
 def main() -> None:
-    base = run_mesh(1, 1, None)
+    # the (1,1) baseline is the flaky number on a time-shared box (observed
+    # 2x run-to-run flapping at batch 2 while the 8-device points stayed
+    # within 1%) — take the MIN of 3 repeats (min is robust to transient
+    # contention; the fastest observed run is the machine's true rate)
+    bases = [run_mesh(1, 1, None) for _ in range(3)]
+    base = min(bases, key=lambda p: p["sharded_step_ms"])
     t_per_sample_base = base["sharded_step_ms"] / 1e3 / base["global_batch"]
     points = [base] + [
         run_mesh(d, p, t_per_sample_base)
         for d, p in [(2, 1), (4, 1), (8, 1), (4, 2)]
     ]
+    # cross-normalized control: (4,2) vs (8,1) per-sample time in the SAME
+    # run — both 8-device, so machine-wide noise cancels; this isolates what
+    # the disp axis costs relative to pure DP
+    per = {tuple(p["mesh"]): p["sharded_step_ms"] / p["global_batch"] for p in points}
+    disp_ratio = round(per[(4, 2)] / per[(8, 1)], 3)
     for p in points:
         print(
             f"mesh {tuple(p['mesh'])}: sharded {p['sharded_step_ms']:7.1f} ms "
@@ -164,6 +174,8 @@ def main() -> None:
             "needs a real multi-chip slice."
         ),
         "target_efficiency": 0.85,
+        "baseline_repeats_ms": [p["sharded_step_ms"] for p in bases],
+        "disp42_vs_dp81_per_sample_ratio": disp_ratio,
         "points": points,
     }
     path = os.path.join(os.path.dirname(__file__), "SCALING.json")

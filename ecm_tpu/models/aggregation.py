@@ -310,12 +310,36 @@ class ECMAggregation(nn.Module):
                     name="context0",
                 )(ctx2d, None, train)  # [B, H, W, C]
                 ctx_map = jnp.tile(m, (1, 1, 1, 4))[:, None]  # [B,1,H,W,4C]
-            x = gband_conv_bn_s1(volume, *self._fold_convbn("dres0_1"))
-            x = gband_conv_bn_s1(x, *self._fold_convbn("dres0_2"), add=ctx_map)
-            y = gband_conv_bn_s1(x, *self._fold_convbn("dres1_1"))
-            cost0 = gband_conv_bn_s1(
-                y, *self._fold_convbn("dres1_2"), relu=False, add=x
-            )
+            w = volume.shape[3]
+            if w % 8 == 0:
+                # padded flow: interior results stay in the kernels' padded
+                # form so the chain pays ONE pad pass instead of four
+                # (each XLA pad is a full-volume copy, ~0.3-0.6 ms/pair —
+                # AGG_TRACE.json jit(_pad) rows)
+                x = gband_conv_bn_s1(
+                    volume, *self._fold_convbn("dres0_1"), emit_padded=True
+                )
+                x = gband_conv_bn_s1(
+                    x, *self._fold_convbn("dres0_2"), add=ctx_map,
+                    prepadded_w=w, emit_padded=True,
+                )
+                y = gband_conv_bn_s1(
+                    x, *self._fold_convbn("dres1_1"),
+                    prepadded_w=w, emit_padded=True,
+                )
+                cost0 = gband_conv_bn_s1(
+                    y, *self._fold_convbn("dres1_2"), relu=False, add=x,
+                    prepadded_w=w, add_padded=True,
+                )
+            else:
+                x = gband_conv_bn_s1(volume, *self._fold_convbn("dres0_1"))
+                x = gband_conv_bn_s1(
+                    x, *self._fold_convbn("dres0_2"), add=ctx_map
+                )
+                y = gband_conv_bn_s1(x, *self._fold_convbn("dres1_1"))
+                cost0 = gband_conv_bn_s1(
+                    y, *self._fold_convbn("dres1_2"), relu=False, add=x
+                )
         else:
             from ecm_tpu.parallel.sharding import constrain_volume as _cv
 

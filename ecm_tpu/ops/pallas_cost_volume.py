@@ -232,10 +232,14 @@ def cost_volume_pallas(
 # FLOP headroom; two independent implementations (XLA's fused pad/stack and
 # this single-write kernel) land at the same rate, so that is the achievable
 # rate for this access pattern at f32 (the 819 GB/s spec is a
-# sequential-stream figure). The bf16 story is measured separately in
-# benchmarks/CV_DTYPE_PROBE.json. Default stays the jnp builder; this
-# kernel is the tested native fallback, same policy as the standard-layout
-# kernel above.
+# sequential-stream figure). CV_DTYPE_PROBE.json closes the question for
+# bf16 (where ROOFLINE saw "96 GB/s"): bf16 takes the SAME wall time as f32
+# (jnp 1.34 vs 1.45 ms; pallas 1.48 vs 1.29) despite half the bytes — the
+# op is element-throughput-bound (mask/shift VPU work per element), not
+# byte-bound, so halving the dtype width cannot speed it up and the low
+# bf16 GB/s number was bytes/time arithmetic, not a fixable inefficiency.
+# Default stays the jnp builder; this kernel is the tested native fallback,
+# same policy as the standard-layout kernel above.
 # ---------------------------------------------------------------------------
 
 

@@ -108,7 +108,13 @@ def _gband_kernel(
 _IMPL_DEFAULT = _os.environ.get("ECM_TPU_GBAND_IMPL", "roll")
 
 
-@functools.partial(jax.jit, static_argnames=("g", "relu", "interpret", "impl"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g", "relu", "interpret", "impl", "prepadded_w", "emit_padded",
+        "add_padded",
+    ),
+)
 def gband_conv_bn_s1(
     xg: jax.Array,
     kernel: jax.Array,
@@ -120,6 +126,9 @@ def gband_conv_bn_s1(
     interpret: bool | None = None,
     impl: str | None = None,
     add: jax.Array | None = None,
+    prepadded_w: int | None = None,
+    emit_padded: bool = False,
+    add_padded: bool = False,
 ) -> jax.Array:
     """Grouped stride-1 3x3x3 pad-1 conv + per-channel affine (+ ReLU).
 
@@ -132,8 +141,22 @@ def gband_conv_bn_s1(
     Returns [B, Dg, H, W, g*Cout]. Equals
     ``relu(grouped_conv3d(xg, kernel, 1, g) * tile(scale) + tile(bias))
     [+ add]``.
+
+    Padded-flow mode (the dres-chain XLA pad passes cost ~1.5 ms/pair,
+    AGG_TRACE.json ``jit(_pad)`` rows): ``prepadded_w=w`` declares xg is
+    ALREADY in the kernel's padded form [B, Dg, H+2, Wp, L] (as produced by
+    ``emit_padded=True``, zero borders); ``emit_padded=True`` writes the
+    output in that same form (the kernel writes its own zero borders) so
+    the next chained call skips its pad pass. ``add_padded`` declares the
+    ``add`` tensor is in padded form too. Roll-impl only; the refs
+    fallback pads/slices at XLA level for interface compatibility.
     """
-    b, dg, h, w, l = xg.shape
+    if prepadded_w is not None:
+        b, dg, hp2, wp_in, l = xg.shape
+        w, h = prepadded_w, hp2 - 2
+        assert wp_in == w + 2 + ((-(w + 2)) % 8), (wp_in, w)
+    else:
+        b, dg, h, w, l = xg.shape
     kd, kh_, kw, cin, cout = kernel.shape
     assert kd == kh_ == kw == 3, kernel.shape
     assert l == g * cin, (l, g, cin)
@@ -147,10 +170,14 @@ def gband_conv_bn_s1(
     # right-pad W so the padded width is 8-aligned: Mosaic requires sublane
     # (second-minor) slice extents to be multiples of 8
     wpad = (-(w + 2)) % 8
+    wp = w + 2 + wpad
     # the roll form's manual output DMA slices [Dg, W, N] rows: W (sublane)
     # must be 8-aligned; odd widths (e.g. W/8 = 156) fall back to "refs"
     if (impl or _IMPL_DEFAULT) == "roll" and w % 8 == 0:
-        xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+        if prepadded_w is not None:
+            xp = xg
+        else:
+            xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
         km = khalo[:, :, cin : cin + l, :].astype(xg.dtype)
         ke = jnp.concatenate(
             [khalo[:, :, :cin, :], khalo[:, :, cin + l :, :]], axis=2
@@ -160,20 +187,29 @@ def gband_conv_bn_s1(
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM)
         ] * 4
+        ow = wp if emit_padded else w
         scratch = [
-            pltpu.VMEM((4, dg, w + 2 + wpad, l), xg.dtype),
-            pltpu.VMEM((4, dg, w + 2 + wpad, 2 * cin), xg.dtype),
-            pltpu.VMEM((2, dg, w, n), xg.dtype),
+            pltpu.VMEM((4, dg, wp, l), xg.dtype),
+            pltpu.VMEM((4, dg, wp, 2 * cin), xg.dtype),
+            pltpu.VMEM((2, dg, ow, n), xg.dtype),
         ]
         sems = [pltpu.SemaphoreType.DMA((4,)), pltpu.SemaphoreType.DMA((2,))]
         if has_add:
-            assert add.shape[0] == b and add.shape[2:] == (h, w, n), add.shape
             dga = add.shape[1]
             assert dga in (1, dg), (dga, dg)
+            if add_padded:
+                assert add.shape == (b, dga, h + 2, wp, n), add.shape
+                aw = wp
+            else:
+                assert add.shape == (b, dga, h, w, n), add.shape
+                aw = w
             inputs.append(add.astype(xg.dtype))
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-            scratch.append(pltpu.VMEM((2, dga, w, n), xg.dtype))
+            scratch.append(pltpu.VMEM((2, dga, aw, n), xg.dtype))
             sems.append(pltpu.SemaphoreType.DMA((2,)))
+        out_shape = (
+            (b, dg, h + 2, wp, n) if emit_padded else (b, dg, h, w, n)
+        )
         return pl.pallas_call(
             functools.partial(
                 _gband_roll_kernel,
@@ -181,17 +217,25 @@ def gband_conv_bn_s1(
                 relu=relu,
                 out_dtype=xg.dtype,
                 has_add=has_add,
+                true_w=w,
+                emit_padded=emit_padded,
+                add_padded=add_padded,
             ),
             grid=(b,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((b, dg, h, w, n), xg.dtype),
+            out_shape=jax.ShapeDtypeStruct(out_shape, xg.dtype),
             scratch_shapes=scratch + sems,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interp,
         )(*inputs)
+    # refs fallback: operate unpadded at XLA level, convert at the edges
+    if prepadded_w is not None:
+        xg = xg[:, :, 1 : 1 + h, 1 : 1 + w, :]
+    if add is not None and add_padded:
+        add = add[:, :, 1 : 1 + h, 1 : 1 + w, :]
 
     xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
 
@@ -231,6 +275,8 @@ def gband_conv_bn_s1(
     )(xp, xp, xp, khalo.astype(xg.dtype), st, bt)
     if add is not None:  # refs path: the add stays an XLA epilogue
         out = (out.astype(jnp.float32) + add.astype(jnp.float32)).astype(xg.dtype)
+    if emit_padded:  # interface compatibility with the roll padded flow
+        out = jnp.pad(out, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
     return out
 
 
@@ -245,15 +291,18 @@ def _gband_roll_kernel(
     relu: bool,
     out_dtype,
     has_add: bool,
+    true_w: int,
+    emit_padded: bool,
+    add_padded: bool,
 ):
     if has_add:
         (
             add_hbm,  # [B, DgA, H, W, N] fused post-activation add (DgA = Dg|1)
-            out_hbm,  # [B, Dg, H, W, N] in HBM/ANY
+            out_hbm,  # [B, Dg, H, W, N] in HBM/ANY ([.., H+2, Wp, N] padded)
             raw_ref,  # VMEM [4, Dg, W+pad, L] rolling raw rows (prefetch ring)
             edge_ref,  # VMEM [4, Dg, W+pad, 2*Cin] rolling edge rows
-            ob_ref,  # VMEM [2, Dg, W, N] output staging
-            ab_ref,  # VMEM [2, DgA, W, N] add-row staging
+            ob_ref,  # VMEM [2, Dg, W|Wp, N] output staging
+            ab_ref,  # VMEM [2, DgA, W|Wp, N] add-row staging
             in_sem,  # DMA sems (4,)
             out_sem,  # DMA sems (2,)
             add_sem,  # DMA sems (2,)
@@ -263,13 +312,16 @@ def _gband_roll_kernel(
         add_hbm = ab_ref = add_sem = None
     bi = pl.program_id(0)
     dg = raw_ref.shape[1]
-    w = ob_ref.shape[2]  # true W (input padded to an 8-aligned width)
+    w = true_w
+    wp = raw_ref.shape[2]
     n = ob_ref.shape[-1]
-    h = out_hbm.shape[2]
+    h = out_hbm.shape[2] - (2 if emit_padded else 0)
+    oro = 1 if emit_padded else 0  # output row offset (padded border)
+    aro = 1 if add_padded else 0
 
     def add_dma(r):
         return pltpu.make_async_copy(
-            add_hbm.at[bi, :, r], ab_ref.at[jax.lax.rem(r, 2)],
+            add_hbm.at[bi, :, r + aro], ab_ref.at[jax.lax.rem(r, 2)],
             add_sem.at[jax.lax.rem(r, 2)],
         )
 
@@ -281,7 +333,7 @@ def _gband_roll_kernel(
 
     def out_dma(r):
         return pltpu.make_async_copy(
-            ob_ref.at[jax.lax.rem(r, 2)], out_hbm.at[bi, :, r],
+            ob_ref.at[jax.lax.rem(r, 2)], out_hbm.at[bi, :, r + oro],
             out_sem.at[jax.lax.rem(r, 2)],
         )
 
@@ -339,10 +391,30 @@ def _gband_roll_kernel(
         if relu:
             y = jnp.maximum(y, 0.0)
         y = y.reshape(dg, w, n)
-        if has_add:
+        if has_add and not add_padded:
             add_dma(i).wait()
             a = ab_ref[jax.lax.rem(i, 2)].astype(jnp.float32)  # [DgA, W, N]
             y = y + a  # DgA == Dg (residual) or 1 (ctx broadcast over groups)
+        if emit_padded:
+            # stage the row in padded form (zero borders); a padded add row
+            # is applied after padding (its borders are zero by contract)
+            y = jnp.concatenate(
+                [
+                    jnp.zeros((dg, 1, n), y.dtype),
+                    y,
+                    jnp.zeros((dg, wp - w - 1, n), y.dtype),
+                ],
+                axis=1,
+            )
+        if has_add and add_padded:
+            add_dma(i).wait()
+            a = ab_ref[jax.lax.rem(i, 2)].astype(jnp.float32)  # [DgA, Wp, N]
+            if not emit_padded:
+                # unpadded output + padded addend: take the interior columns
+                # (static misaligned sublane slice — one in-VMEM relayout,
+                # still cheaper than an XLA-level slice pass of the addend)
+                a = a[:, 1 : 1 + w]
+            y = y + a
 
         @pl.when(i >= 2)
         def _():
@@ -359,6 +431,17 @@ def _gband_roll_kernel(
         out_dma(h - 2).wait()
 
     out_dma(h - 1).wait()
+    if emit_padded:
+        # zero border rows 0 and H+1 of the padded output
+        ob_ref[0] = jnp.zeros_like(ob_ref[0])
+        top = pltpu.make_async_copy(ob_ref.at[0], out_hbm.at[bi, :, 0],
+                                    out_sem.at[0])
+        bot = pltpu.make_async_copy(ob_ref.at[0], out_hbm.at[bi, :, h + 1],
+                                    out_sem.at[1])
+        top.start()
+        bot.start()
+        top.wait()
+        bot.wait()
 
 
 @functools.lru_cache(maxsize=None)

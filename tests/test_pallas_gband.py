@@ -243,3 +243,62 @@ def test_gconv3d_train_dispatch_matches_xla(monkeypatch):
         np.asarray(g_new["kernel"]), np.asarray(g_ref["kernel"]),
         atol=1e-3, rtol=1e-3,
     )
+
+
+@pytest.mark.parametrize("impl", ["roll"])
+def test_gband_padded_flow_chain(impl):
+    """Padded-flow chain (emit_padded / prepadded_w / add_padded) == the
+    unpadded reference chain; also the padded output IS pad(reference)."""
+    g, cin, cout = 4, 6, 6
+    xg = to_grouped(_arr(2, 16, 5, 16, cin), 4)
+    k1, k2, k3 = _arr(3, 3, 3, cin, cout), _arr(3, 3, 3, cout, cout), _arr(
+        3, 3, 3, cout, cout
+    )
+    s1 = jnp.abs(_arr(cout)) + 0.5
+    b1 = _arr(cout)
+    add_u = _arr(2, 1, 5, 16, 4 * cout)  # ctx broadcast, unpadded
+    p1 = gband_conv_bn_s1(xg, k1, s1, b1, impl=impl, emit_padded=True)
+    p2 = gband_conv_bn_s1(
+        p1, k2, s1, b1, impl=impl, add=add_u, prepadded_w=16, emit_padded=True
+    )
+    out = gband_conv_bn_s1(
+        p2, k3, s1, b1, impl=impl, relu=False, add=p1,
+        prepadded_w=16, add_padded=True,
+    )
+    r1 = gband_reference(xg, k1, s1, b1)
+    r2 = gband_reference(r1, k2, s1, b1, add=add_u)
+    rout = gband_reference(r2, k3, s1, b1, relu=False, add=r1)
+    # 3-conv chain: values reach ~1e3 and dot-order noise compounds — bound
+    # relative to the chain's scale, not absolutely
+    scale_out = float(jnp.max(jnp.abs(rout)))
+    np.testing.assert_allclose(
+        np.asarray(out) / scale_out, np.asarray(rout) / scale_out,
+        atol=1e-4, rtol=0,
+    )
+    wpad = (-(16 + 2)) % 8
+    np.testing.assert_allclose(
+        np.asarray(p1),
+        np.asarray(
+            jnp.pad(r1, ((0, 0), (0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+        ),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_aggregation_gband_padded_flow_matches_generic(monkeypatch):
+    """ECMAggregation grouped eval with w % 8 == 0 (padded dres-chain flow)
+    == the generic grouped path, same params."""
+    import ecm_tpu.models.grouped_layers as gl
+    from ecm_tpu.models.aggregation import ECMAggregation
+    from ecm_tpu.ops.grouped3d import to_grouped
+
+    vol = _arr(1, 16, 8, 16, 12)
+    ctx2d = _arr(1, 8, 16, 6)
+    agg = ECMAggregation(channels=6, layout="grouped", remat=False)
+    v = agg.init({"params": jax.random.PRNGKey(0)}, to_grouped(vol), ctx2d, True)
+    vars_ = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    out_gen = agg.apply(vars_, to_grouped(vol), ctx2d, False)
+    monkeypatch.setattr(gl, "_GBAND_DEFAULT", "on")
+    out_gb = agg.apply(vars_, to_grouped(vol), ctx2d, False)
+    scale = float(jnp.max(jnp.abs(out_gen[0]))) + 1e-9
+    assert float(jnp.max(jnp.abs(out_gen[0] - out_gb[0]))) / scale < 2e-3
